@@ -1,0 +1,70 @@
+"""Binary-column codec roundtrips + selection behavior."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zseq.codecs import bytescodecs as BC
+
+ALL = [BC.T_BIN_RAW, BC.T_BIN_ZSTD, BC.T_BIN_DICT, BC.T_BIN_FSST]
+
+
+def _col(strs):
+    data = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    return lens, data
+
+
+CASES = {
+    "ids": [f"doc_{i:08d}".encode() for i in range(3000)],
+    "categorical": [b"web", b"books", b"code", b"wiki"] * 500,
+    "const": [b"same"] * 500,
+    "empty": [],
+    "empties": [b"", b"", b""],
+    "binary": [bytes([i % 256, 255, 0]) for i in range(500)],
+}
+
+
+@pytest.mark.parametrize("name", CASES)
+@pytest.mark.parametrize("codec", ALL + [None])
+def test_roundtrip(name, codec):
+    lens, data = _col(CASES[name])
+    enc = BC.encode_binary(lens, data, codec=codec)
+    l2, d2, pos = BC.decode_binary(enc)
+    assert pos == len(enc)
+    assert np.array_equal(l2, lens)
+    assert np.array_equal(d2, data)
+
+
+def test_const_detection():
+    lens, data = _col([b"same"] * 500)
+    enc = BC.encode_binary(lens, data)
+    assert enc[0] == BC.T_BIN_CONST
+    assert len(enc) < 40
+
+
+def test_dict_on_categorical():
+    lens, data = _col([b"web", b"books", b"code", b"wiki"] * 2000)
+    enc = BC.encode_binary(lens, data)
+    raw = int(data.size)
+    assert raw / len(enc) > 5
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=30), max_size=50),
+       st.sampled_from(ALL + [None]))
+def test_roundtrip_property(strs, codec):
+    lens, data = _col(strs)
+    enc = BC.encode_binary(lens, data, codec=codec)
+    l2, d2, _ = BC.decode_binary(enc)
+    assert np.array_equal(l2, lens)
+    assert np.array_equal(d2, data)
+
+
+def test_zstd_matches_reference_level():
+    # The reference compresses string payloads with zstd level 3
+    # (compression.rs:34-41); our zstd path must roundtrip arbitrary bytes.
+    blob = bytes(range(256)) * 100
+    comp = BC.zstd_compress(np.frombuffer(blob, np.uint8))
+    assert BC.zstd_decompress(comp, len(blob)) == blob

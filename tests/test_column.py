@@ -1,0 +1,113 @@
+"""Arrow column shredding roundtrips — the striped-equivalence layer.
+
+Mirrors the reference's striped roundtrip property tests
+(/root/reference/zbra-core/tests/roundtrip.rs:42-52 column-level,
+tests/common/mod.rs:384-408 boundary values: i64 MIN/MAX, +-inf, NaN,
+-0.0, empty and large collections)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zseq import column as C
+
+
+def rt(arr: pa.Array) -> pa.Array:
+    enc = C.encode_column(arr)
+    dec, pos = C.decode_column(enc, 0, arr.type)
+    assert pos == len(enc)
+    return dec
+
+
+def eq(a: pa.Array, b: pa.Array) -> bool:
+    """Bit-identical comparison (Arrow's .equals is false for NaN == NaN;
+    the roundtrip contract is bit-identity, which is stricter)."""
+    if pa.types.is_floating(a.type):
+        import pyarrow.compute as pc
+
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        vb = pc.is_valid(b).to_numpy(zero_copy_only=False)
+        if not np.array_equal(va, vb):
+            return False
+        dt = np.float64 if pa.types.is_float64(a.type) else np.float32
+        it = np.int64 if dt is np.float64 else np.int32
+        na = np.asarray(a.fill_null(0.0).to_numpy(zero_copy_only=False),
+                        dtype=dt).view(it)
+        nb = np.asarray(b.fill_null(0.0).to_numpy(zero_copy_only=False),
+                        dtype=dt).view(it)
+        return bool(np.array_equal(na, nb))
+    return a.equals(b)
+
+
+BOUNDARY = [
+    pa.array([2**63 - 1, -(2**63), 0, -1, 1], type=pa.int64()),
+    pa.array([float("inf"), float("-inf"), float("nan"), -0.0, 0.0, 1e308]),
+    pa.array([], type=pa.int64()),
+    pa.array([], type=pa.string()),
+    pa.array([], type=pa.list_(pa.int32())),
+    pa.array([None, None], type=pa.float64()),
+    pa.array([[]] * 5, type=pa.list_(pa.int32())),
+    pa.array([list(range(5000))], type=pa.list_(pa.int64())),
+    pa.array(["", "", ""]),
+    pa.array([b"\x00" * 1000, b"\xff" * 1000], type=pa.binary()),
+]
+
+
+@pytest.mark.parametrize("i", range(len(BOUNDARY)))
+def test_boundary_roundtrip(i):
+    arr = BOUNDARY[i]
+    assert eq(rt(arr), arr)
+
+
+TYPED = [
+    pa.array([1, None, 3], type=pa.int8()),
+    pa.array([1, None, 3], type=pa.int16()),
+    pa.array([-(2**31), 2**31 - 1, None], type=pa.int32()),
+    pa.array([0, 255, None], type=pa.uint8()),
+    pa.array([0, 2**16 - 1], type=pa.uint16()),
+    pa.array([0, 2**32 - 1], type=pa.uint32()),
+    pa.array([0, 2**64 - 1, 5], type=pa.uint64()),
+    pa.array([1.5, None], type=pa.float32()),
+    pa.array([True, None, False]),
+    pa.array(["αβγ", None, "ascii", ""]),
+    pa.array([b"raw", None], type=pa.binary()),
+    pa.array([["a", "b"], None, []], type=pa.list_(pa.string())),
+    pa.array([[1.5], [2.5, None]], type=pa.list_(pa.float64())),
+    pa.array([[[1, 2]], [[3], []]], type=pa.list_(pa.list_(pa.int32()))),
+    pa.array(np.array(["2024-06-01T12:00:00.123456"] * 4,
+                      dtype="datetime64[us]")),
+]
+
+
+@pytest.mark.parametrize("i", range(len(TYPED)))
+def test_typed_roundtrip(i):
+    arr = TYPED[i]
+    assert eq(rt(arr), arr)
+
+
+def test_sliced_arrays():
+    base = pa.array(list(range(10000)), type=pa.int64())
+    sl = base.slice(1234, 567)
+    assert rt(sl).equals(sl)
+    base_s = pa.array([f"s{i}" for i in range(1000)])
+    sl_s = base_s.slice(10, 77)
+    assert rt(sl_s).equals(sl_s)
+
+
+def test_nulls_with_garbage_slots_encode_deterministically():
+    a = pa.array([1, None, 3], type=pa.int64())
+    b = pa.array([1, None, 3], type=pa.int64())
+    assert C.encode_column(a) == C.encode_column(b)
+
+
+def test_list_child_count_strictness():
+    arr = pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))
+    enc = bytearray(C.encode_column(arr))
+    # Corrupt: claim 3 rows but keep child — framing must refuse garbage
+    with pytest.raises(Exception):
+        C.decode_column(bytes(enc[:-4]), 0, arr.type)
+
+
+def test_timestamp_tz():
+    arr = pa.array([1, 2, 3], type=pa.timestamp("us", tz="UTC"))
+    assert rt(arr).equals(arr)

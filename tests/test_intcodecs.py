@@ -1,0 +1,111 @@
+"""Roundtrip + strictness tests for every int codec and the auto-selector."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zseq import select
+from zseq.codecs import intcodecs as IC
+
+ALL_CODECS = [IC.T_RAW, IC.T_ZBRA, IC.T_FORBP, IC.T_DELTA, IC.T_DICT, IC.T_RLE]
+
+CASES = {
+    "sequential": np.arange(10000, dtype=np.int64) * 3 + 7,
+    "random_wide": np.random.default_rng(1).integers(-(2**62), 2**62, 3000),
+    "small_range": np.random.default_rng(2).integers(0, 250, 5000),
+    "repetitive": np.repeat(np.random.default_rng(3).integers(0, 5, 200), 50),
+    "constant": np.full(777, -42, dtype=np.int64),
+    "clustered_ts": 1640995200000
+    + np.random.default_rng(4).integers(0, 3600, 8000).astype(np.int64),
+    "int64_edges": np.array(
+        [2**63 - 1, -(2**63), 0, -1, 1, 4611686018427387904,
+         -1152921504606846976], dtype=np.int64),
+    "single": np.array([5], dtype=np.int64),
+    "two": np.array([-(2**63), 2**63 - 1], dtype=np.int64),
+}
+
+
+@pytest.mark.parametrize("name", CASES)
+@pytest.mark.parametrize("codec", ALL_CODECS)
+def test_forced_codec_roundtrip(name, codec):
+    arr = CASES[name]
+    if codec == IC.T_DELTA and arr.size < 2:
+        pytest.skip("delta needs >=2 values")
+    enc = IC.encode_ints(arr, codec=codec)
+    dec, pos = IC.decode_ints(enc)
+    assert pos == len(enc)
+    assert np.array_equal(dec, arr)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_auto_roundtrip_and_never_worse_than_raw_plus_slack(name):
+    arr = CASES[name]
+    enc = IC.encode_ints(arr)
+    dec, _ = IC.decode_ints(enc)
+    assert np.array_equal(dec, arr)
+    assert len(enc) <= arr.size * 8 + 64 + arr.size  # sane upper bound
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=300))
+def test_auto_property(values):
+    arr = np.array(values, dtype=np.int64)
+    enc = IC.encode_ints(arr)
+    dec, pos = IC.decode_ints(enc)
+    assert pos == len(enc)
+    assert np.array_equal(dec, arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200),
+    st.sampled_from(ALL_CODECS),
+)
+def test_every_codec_property(values, codec):
+    arr = np.array(values, dtype=np.int64)
+    if codec == IC.T_DELTA and arr.size < 2:
+        return
+    enc = IC.encode_ints(arr, codec=codec)
+    dec, _ = IC.decode_ints(enc)
+    assert np.array_equal(dec, arr)
+
+
+def test_selector_picks_sensibly():
+    assert IC.encode_ints(CASES["constant"])[0] == IC.T_CONST
+    assert IC.encode_ints(CASES["sequential"])[0] == IC.T_DELTA
+    assert IC.encode_ints(CASES["repetitive"])[0] == IC.T_RLE
+    # small-range data must land on something bit-packing-shaped
+    assert IC.encode_ints(CASES["small_range"])[0] in (IC.T_FORBP, IC.T_ZBRA)
+
+
+def test_selected_size_beats_zbra_on_all_compressible_cases():
+    """The engine's whole point: per-column output <= the reference
+    pipeline's bytes on the same data (within segment-header slack)."""
+    for name, arr in CASES.items():
+        ours = len(IC.encode_ints(arr))
+        zbra = len(IC.encode_ints(arr, codec=IC.T_ZBRA))
+        assert ours <= zbra + 16, (name, ours, zbra)
+
+
+def test_truncated_segment_raises():
+    enc = IC.encode_ints(np.arange(1000))
+    with pytest.raises(ValueError):
+        IC.decode_ints(enc[: len(enc) - 5])
+
+
+def test_rle_bad_lengths_raises():
+    vals = IC.encode_ints(np.array([1, 2]), codec=IC.T_RAW)
+    lens = IC.encode_ints(np.array([3, 4]), codec=IC.T_RAW)
+    seg = IC.HEADER.pack(IC.T_RLE, 5, len(vals) + len(lens)) + vals + lens
+    with pytest.raises(ValueError):
+        IC.decode_ints(seg)
+
+
+def test_stats_and_prediction_shapes():
+    arr = CASES["clustered_ts"]
+    st_ = select.int_stats(arr)
+    assert st_.n == arr.size
+    sizes = select.predict_int_sizes(st_)
+    assert IC.T_FORBP in sizes and sizes[IC.T_FORBP] > 0

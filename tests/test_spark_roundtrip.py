@@ -1,0 +1,96 @@
+"""End-to-end Spark encode -> decode == source (the EP3 correctness
+contract, /root/reference/zbra-core/tests/roundtrip.rs:16-22 /
+production-data.rs:89-96, rebuilt on the distributed path), plus
+checkpoint-resume semantics."""
+
+import os
+
+import pytest
+
+from zseq import decode as zdec
+from zseq import encode as zenc
+from zseq import synth
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    return synth.tokens_df_range(spark, 2000, partitions=4).cache()
+
+
+def _sorted_rows(df):
+    return [
+        (r.doc_id, list(r.tokens), r.n_tok, r.source)
+        for r in df.orderBy("doc_id").collect()
+    ]
+
+
+def test_spark_roundtrip_bit_identical(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    res = zenc.encode(tokens_df, out, partitions=4)
+    assert res.total_rows == 2000
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    back = zdec.decode(spark, out)
+    assert _sorted_rows(back) == _sorted_rows(tokens_df)
+
+
+def test_manifest_metrics(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc2")
+    res = zenc.encode(tokens_df, out, partitions=4)
+    m = res.manifest
+    assert m["totals"]["rows"] == 2000
+    assert m["totals"]["list_elems"] > 0
+    assert m["totals"]["enc_bytes"] > 0
+    assert all("codecs" in p for p in m["parts"])
+    # every committed part file exists and matches its crc32
+    import zlib
+
+    for p in m["parts"]:
+        path = os.path.join(out, p["file"])
+        with open(path, "rb") as f:
+            assert zlib.crc32(f.read()) == p["crc32"]
+
+
+def test_resume_skips_done_partitions(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc3")
+    full = zenc.encode(tokens_df, out, partitions=4)
+    # simulate a partial failure: delete one part file + the manifest's
+    # knowledge of it, then resume
+    victim = full.parts[2]
+    os.remove(os.path.join(out, victim["file"]))
+    res = zenc.encode(tokens_df, out, partitions=4, resume=True)
+    assert res.total_rows == 2000
+    back = zdec.decode(spark, out)
+    assert back.count() == 2000
+    assert _sorted_rows(back) == _sorted_rows(tokens_df)
+
+
+def test_resume_partition_count_mismatch_raises(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc4")
+    zenc.encode(tokens_df, out, partitions=4)
+    with pytest.raises(ValueError, match="partitions"):
+        zenc.encode(tokens_df, out, partitions=8, resume=True)
+
+
+def test_decode_without_manifest_refuses(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc5")
+    zenc.encode(tokens_df, out, partitions=2)
+    os.remove(os.path.join(out, "manifest.json"))
+    with pytest.raises(FileNotFoundError):
+        zdec.decode(spark, out)
+    # but allow_partial works
+    back = zdec.decode(spark, out, allow_partial=True)
+    assert back.count() == 2000
+
+
+def test_real_testdata_roundtrip(spark, tmp_path):
+    """Mixed-type real parquet (lineitem sf0.001) roundtrips exactly."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/lineitem.parquet"):
+        pytest.skip("testdata not present")
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    out = str(tmp_path / "lineitem")
+    zenc.encode(df, out, partitions=4, partition_col="l_orderkey")
+    back = zdec.decode(spark, out)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

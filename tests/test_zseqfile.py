@@ -1,0 +1,57 @@
+""".zseq file format roundtrips + integrity checks."""
+
+import pyarrow as pa
+import pytest
+
+from zseq import synth, zseqfile
+
+
+def test_tokens_table_roundtrip():
+    tbl = synth.tokens_table_arrow(2000)
+    blob = zseqfile.encode_table(tbl)
+    out = zseqfile.decode_table(blob)
+    assert out.equals(tbl)
+
+
+def test_multi_batch_roundtrip():
+    tbl = synth.tokens_table_arrow(3000)
+    batches = tbl.to_batches(max_chunksize=500)
+    blob = zseqfile.encode_table(batches, schema=tbl.schema)
+    out = zseqfile.decode_table(blob)
+    assert out.equals(tbl)
+
+
+def test_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        zseqfile.decode_table(b"NOT A ZSEQ FILE" + b"\x00" * 100)
+
+
+def test_truncated_file():
+    blob = zseqfile.encode_table(synth.tokens_table_arrow(100))
+    with pytest.raises(Exception):
+        zseqfile.decode_table(blob[: len(blob) - 9])
+
+
+def test_trailing_garbage():
+    blob = zseqfile.encode_table(synth.tokens_table_arrow(100))
+    with pytest.raises(ValueError):
+        zseqfile.decode_table(blob + b"junk")
+
+
+def test_empty_table():
+    tbl = synth.tokens_table_arrow(0)
+    blob = zseqfile.encode_table(tbl)
+    out = zseqfile.decode_table(blob)
+    assert out.num_rows == 0
+    assert out.schema.equals(tbl.schema)
+
+
+def test_mixed_types_table():
+    tbl = pa.table({
+        "i": pa.array([1, None, 3], type=pa.int64()),
+        "d": pa.array([1.5, 2.5, None]),
+        "s": pa.array(["a", None, "ccc"]),
+        "b": pa.array([True, False, None]),
+        "l": pa.array([[1, 2], None, []], type=pa.list_(pa.int32())),
+    })
+    assert zseqfile.decode_table(zseqfile.encode_table(tbl)).equals(tbl)

@@ -1,0 +1,24 @@
+"""zseq — a PySpark-native per-column lightweight-compression engine.
+
+A brand-new, Spark-first rebuild of the capabilities of justanotherdot/zbra
+(a Rust columnar binary format with a FOR -> zig-zag -> bit-pack -> zstd
+integer pipeline; see /root/reference). NOT a port: the relational layer is
+Spark SQL/Catalyst; what zseq builds is the codec/dataflow layer that zbra
+implements natively, re-expressed as vectorized numpy/Arrow kernels running
+inside ``mapInArrow`` — zero per-row Python on the hot path.
+
+Layers (mirroring zbra's four-layer design, README.md:5-12 of the reference):
+
+  JSON/Parquet  ->  Spark DataFrame (logical rows)
+  logical       ->  zseq.schema (validated schema model)
+  striped       ->  Arrow RecordBatch columns shredded in zseq.shred
+  binary        ->  .zseq blob files written per-partition (zseq.zseqfile)
+
+Correctness contract (reference zbra-core/tests/roundtrip.rs:12-22):
+``decode(encode(df)) == df`` bit-identically, per row, including
+token-array equality on ``array<int32>`` columns.
+"""
+
+__version__ = "0.1.0"
+
+MAGIC = b"||_ZSEQ||00001||"

@@ -1,0 +1,223 @@
+"""Primitive integer-compression kernels, vectorized in numpy.
+
+These reproduce the exact semantics (including wrapping int64 arithmetic and
+byte layouts) of the reference's scalar Rust kernels so that (a) roundtrip
+property tests carry over 1:1 and (b) the size oracle in zseq.oracle is
+byte-exact. Reference: /root/reference/zbra-core/src/compression.rs
+(frame_of_reference_encode :52-74, zig_zag_encode :88-98, bp64_pack
+:117-178, compress_int_array :271-292).
+
+All kernels are pure ``np.ndarray -> np.ndarray`` / bytes functions with no
+Spark dependency; the Spark layer calls them from inside ``mapInArrow``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_1 = np.uint64(1)
+_U64_8 = np.uint64(8)
+
+# numpy int64 overflow wraps two's-complement exactly like Rust's
+# wrapping_add/wrapping_sub, but emits RuntimeWarnings — suppress on purpose.
+_wrap = np.errstate(over="ignore")
+
+
+def _as_i64(values) -> np.ndarray:
+    arr = np.asarray(values)
+    if arr.dtype != np.int64:
+        arr = arr.astype(np.int64)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Frame-of-reference (reference compression.rs:52-82) — median reference.
+# ---------------------------------------------------------------------------
+
+def for_reference(values: np.ndarray) -> int:
+    """Median midpoint, replicating the reference's overflow-safe formula.
+
+    Even length: ``a.wrapping_add(b.wrapping_sub(a) / 2)`` where ``/`` is
+    Rust signed division (truncation toward zero) — compression.rs:60-68.
+    """
+    arr = _as_i64(values)
+    n = arr.size
+    if n == 0:
+        return 0
+    if n % 2 == 1:
+        # np.partition is O(n); the reference full-sorts but only the
+        # midpoint value matters (SURVEY.md §4.3).
+        return int(np.partition(arr, n // 2)[n // 2])
+    part = np.partition(arr, [n // 2 - 1, n // 2])
+    a = int(part[n // 2 - 1])
+    b = int(part[n // 2])
+    d = _wrap_i64(b - a)
+    half = -((-d) // 2) if d < 0 else d // 2  # trunc toward zero
+    return _wrap_i64(a + half)
+
+
+def _wrap_i64(x: int) -> int:
+    """Wrap a python int to two's-complement int64."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def for_encode(values: np.ndarray) -> tuple[int, np.ndarray]:
+    """(midpoint, wrapping deltas) — compression.rs:52-74."""
+    arr = _as_i64(values)
+    if arr.size == 0:
+        return 0, arr
+    mid = for_reference(arr)
+    with _wrap:
+        deltas = arr - np.int64(mid)
+    return mid, deltas
+
+
+def for_decode(midpoint: int, deltas: np.ndarray) -> np.ndarray:
+    """Wrapping add — compression.rs:77-82."""
+    arr = _as_i64(deltas)
+    with _wrap:
+        return arr + np.int64(midpoint)
+
+
+# ---------------------------------------------------------------------------
+# Zig-zag (reference compression.rs:88-111).
+# ---------------------------------------------------------------------------
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """(n << 1) ^ (n >> 63) on int64 -> uint64."""
+    arr = _as_i64(values)
+    u = arr.view(np.uint64)
+    sign = (arr >> 63).view(np.uint64)  # arithmetic shift: 0 or all-ones
+    with _wrap:
+        return ((u << _U64_1) ^ sign)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    """(n >> 1) ^ -(n & 1) on uint64 -> int64."""
+    u = np.asarray(values, dtype=np.uint64)
+    shifted = (u >> _U64_1).view(np.int64)
+    sign = (u & _U64_1).view(np.int64)
+    return shifted ^ -sign
+
+
+# ---------------------------------------------------------------------------
+# BP64 bit-packing (reference compression.rs:117-233).
+# LSB-first bitstream, 1-byte width header per array, >=32-bit width falls
+# back to raw 8-byte LE storage (the "efficiency cliff" the reference's
+# Date validation limit exists to avoid).
+# ---------------------------------------------------------------------------
+
+def bit_width_u64(max_value: int) -> int:
+    """64 - clz(max); 1 when max == 0 (compression.rs:123-128)."""
+    if max_value == 0:
+        return 1
+    return int(max_value).bit_length()
+
+
+def bp64_pack(values: np.ndarray) -> bytes:
+    u = np.ascontiguousarray(values, dtype=np.uint64)
+    if u.size == 0:
+        return b""
+    width = bit_width_u64(int(u.max()))
+    if width >= 32:
+        return bytes([width]) + u.tobytes()  # raw 8-byte LE fallback
+    return bytes([width]) + pack_width(u, width)
+
+
+def bp64_unpack(packed: bytes | memoryview, count: int) -> np.ndarray:
+    buf = memoryview(packed)
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    width = buf[0]
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64)
+    data = buf[1:]
+    if width >= 32:
+        need = count * 8
+        if len(data) < need:
+            raise ValueError(
+                f"bp64: truncated raw payload ({len(data)} < {need} bytes)"
+            )
+        return np.frombuffer(data[:need], dtype="<u8").copy()
+    return unpack_width(data, count, width)
+
+
+def pack_width(u: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values at ``width`` bits each, LSB-first, vectorized.
+
+    Expands each value into its ``width`` bits (n x width uint8 matrix) and
+    repacks with np.packbits(bitorder='little') — equivalent to the
+    reference's scalar bit-buffer loop (compression.rs:152-177).
+    """
+    n = u.size
+    if n == 0 or width == 0:
+        return b""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((u[:, None] >> shifts) & _U64_1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_width(data, count: int, width: int) -> np.ndarray:
+    """Inverse of pack_width; strict about truncation (unlike the
+    reference, which silently yields zeros — compression.rs:198-205;
+    SURVEY.md §4.3 says decode must be strict in the rebuild)."""
+    nbits = count * width
+    nbytes = (nbits + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=-1)
+    if raw.size < nbytes:
+        raise ValueError(
+            f"bitpack: truncated payload ({raw.size} < {nbytes} bytes)"
+        )
+    bits = np.unpackbits(raw[:nbytes], count=nbits, bitorder="little")
+    bits = bits.reshape(count, width)
+    out = np.zeros(count, dtype=np.uint64)
+    for b in range(width):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# zbra's full int pipeline (compression.rs:271-330): FOR -> zigzag -> BP64,
+# layout = midpoint(8B LE) + packed_len(4B LE) + packed. Kept byte-exact:
+# it is both a usable codec and the reference size oracle's core.
+# ---------------------------------------------------------------------------
+
+def zbra_compress_int_array(values: np.ndarray) -> bytes:
+    arr = _as_i64(values)
+    if arr.size == 0:
+        return b""
+    mid, deltas = for_encode(arr)
+    zz = zigzag_encode(deltas)
+    packed = bp64_pack(zz)
+    head = int(mid).to_bytes(8, "little", signed=True)
+    return head + len(packed).to_bytes(4, "little") + packed
+
+
+def zbra_decompress_int_array(data: bytes | memoryview, count: int) -> np.ndarray:
+    buf = memoryview(data)
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if len(buf) < 12:
+        raise ValueError("zbra int pipeline: invalid compressed data length")
+    mid = int.from_bytes(buf[0:8], "little", signed=True)
+    packed_len = int.from_bytes(buf[8:12], "little")
+    if len(buf) < 12 + packed_len:
+        raise ValueError("zbra int pipeline: insufficient data for packed array")
+    zz = bp64_unpack(buf[12 : 12 + packed_len], count)
+    deltas = zigzag_decode(zz)
+    return for_decode(mid, deltas)
+
+
+def zbra_compressed_size(values: np.ndarray) -> int:
+    """Exact size in bytes of zbra's compress_int_array output, computed
+    without materializing the payload (for the size oracle)."""
+    arr = _as_i64(values)
+    n = arr.size
+    if n == 0:
+        return 0
+    mid, deltas = for_encode(arr)
+    zz = zigzag_encode(deltas)
+    width = bit_width_u64(int(zz.max())) if n else 1
+    packed = 1 + (n * 8 if width >= 32 else (n * width + 7) // 8)
+    return 8 + 4 + packed

@@ -1,0 +1,87 @@
+"""Distributed decode job: .zseq blobs -> DataFrame.
+
+The Spark rebuild of the reference's read path (EP2 in SURVEY.md §3:
+header parse -> block read -> decompress -> unshred). Files are picked up
+with Spark's binaryFile source (never splits a file, so one task decodes
+one blob) and decoded inside ``mapInArrow`` back into Arrow batches of the
+original schema — strict about magic, block framing, per-segment byte
+consumption, and the trailing row count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .encode import read_manifest
+from .zseqfile import ZseqReader
+
+
+def _decode_files(schema_names: list[str], crcs: dict[str, int] | None):
+    def fn(batches):
+        import os
+        import zlib
+
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for path, content in zip(paths, contents):
+                if crcs is not None:
+                    want = crcs.get(os.path.basename(path))
+                    if want is not None and zlib.crc32(content) != want:
+                        raise ValueError(
+                            f"{path}: crc32 mismatch vs manifest — file is "
+                            "corrupt or was modified after commit"
+                        )
+                r = ZseqReader(content)
+                if list(r.schema.names) != list(schema_names):
+                    raise ValueError(
+                        f"{path}: schema {r.schema.names} != manifest "
+                        f"{schema_names}"
+                    )
+                yield from r.batches()
+
+    return fn
+
+
+def decode(spark: SparkSession, out_dir: str,
+            allow_partial: bool = False) -> DataFrame:
+    """Read an encoded dataset back as a DataFrame."""
+    from .session import ship_package
+
+    ship_package(spark)
+    manifest = read_manifest(out_dir)
+    if manifest is None and not allow_partial:
+        raise FileNotFoundError(
+            f"{out_dir}/manifest.json missing — encode did not commit "
+            "(pass allow_partial=True to read surviving part files)"
+        )
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(manifest["schema"]))
+    ) if manifest else None
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zseq")
+        .load(out_dir)
+        .select("path", "content")
+    )
+    if schema is None:
+        # Partial read: schema from the first file.
+        first = files.limit(1).collect()
+        if not first:
+            raise FileNotFoundError(f"no .zseq files in {out_dir}")
+        schema = ZseqReader(first[0]["content"]).schema
+        names = list(schema.names)
+    else:
+        names = manifest["schema_names"]
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    crcs = (
+        {p["file"]: p["crc32"] for p in manifest.get("parts", [])}
+        if manifest else None
+    )
+    spark_schema = from_arrow_schema(schema)
+    return files.mapInArrow(_decode_files(names, crcs), spark_schema)

@@ -1,0 +1,157 @@
+"""Per-column codec auto-selection from sampled statistics.
+
+Implements, for real, the adaptive-compression design the reference only
+documents as FUTURE (/root/reference/docs/design.md:255-302: "Analysis
+Phase: sample first N values", DataPattern::{Sequential, Random, Repetitive,
+Sparse, TimeSeries}): sample up to SAMPLE values of a column chunk, derive
+{cardinality ratio, mean run length, sortedness, delta bits, range bits},
+score each codec's *predicted* encoded size in bytes, and pick the minimum.
+
+Prediction is deliberately cheap (no trial encodes of the full chunk) so the
+selector adds O(SAMPLE) work per chunk regardless of chunk size — the right
+trade at 10^12-sequence scale where chunks are millions of values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codecs import intcodecs as IC
+from .codecs import primitives as P
+
+SAMPLE = 8192
+
+_wrap = np.errstate(over="ignore")
+
+
+@dataclass
+class IntStats:
+    n: int
+    sampled: int
+    card_ratio: float       # unique/sampled on the sample
+    mean_run: float          # mean run length on the sample
+    sorted_frac: float       # fraction of non-negative successive deltas
+    range_bits: int          # bits of (max - min) over the FULL chunk
+    delta_bits: int          # bits of max |successive delta| (zig-zag domain)
+    vmin: int
+    vmax: int
+    med_est: int             # sample median (zbra's FOR reference)
+
+
+def int_stats(arr: np.ndarray) -> IntStats:
+    n = arr.size
+    # Strided sample sees the whole chunk (head-only sampling misses
+    # regime changes mid-chunk).
+    step = max(1, n // SAMPLE)
+    s = arr[::step][:SAMPLE]
+    m = s.size
+    # Full-chunk min/max are cheap and make range_bits exact — a sampled
+    # max would under-size bit widths.
+    vmin, vmax = int(arr.min()), int(arr.max())
+    rng = (vmax - vmin) & ((1 << 64) - 1)
+    range_bits = rng.bit_length() if rng else 0
+    uniq = np.unique(s)
+    card_ratio = uniq.size / m
+    if m > 1:
+        with _wrap:
+            d = np.diff(s)
+        runs = float(np.count_nonzero(d)) + 1.0
+        mean_run = m / runs
+        sorted_frac = float(np.count_nonzero(d >= 0)) / (m - 1)
+        zz = P.zigzag_encode(d)
+        delta_bits = int(zz.max()).bit_length() if zz.size else 0
+    else:
+        mean_run, sorted_frac, delta_bits = 1.0, 1.0, 0
+    med_est = int(np.partition(s, m // 2)[m // 2]) if m else 0
+    return IntStats(n, m, card_ratio, mean_run, sorted_frac,
+                    range_bits, delta_bits, vmin, vmax, med_est)
+
+
+def predict_int_sizes(st: IntStats) -> dict[int, float]:
+    """Predicted encoded bytes per codec (segment header excluded — it is
+    identical for all)."""
+    n = st.n
+    sizes: dict[int, float] = {}
+    sizes[IC.T_RAW] = 8.0 * n
+    if st.vmin == st.vmax:
+        sizes[IC.T_CONST] = 8.0
+    # FORBP: per-mini 9B header + range-bits payload. Use range_bits as the
+    # (pessimistic) per-mini width; clustered data does better in practice.
+    nminis = (n + IC.MINI - 1) // IC.MINI
+    sizes[IC.T_FORBP] = 4 + 9.0 * nminis + n * st.range_bits / 8.0
+    # DELTA: 8B first + FORBP over zig-zag deltas at delta_bits width. Only
+    # trustworthy when the sample looked (near-)monotonic or smooth.
+    sizes[IC.T_DELTA] = 8 + 4 + 9.0 * nminis + n * st.delta_bits / 8.0
+    # DICT: dictionary (card * ~8B, FORBP-packed so usually less) + indices
+    # at log2(card) bits. Estimate card on full chunk from sample ratio,
+    # capped: a sample with all-unique values predicts card == n.
+    est_card = max(1.0, st.card_ratio * n if st.card_ratio < 0.99 else n)
+    idx_bits = max(1, int(np.ceil(np.log2(est_card + 1))))
+    sizes[IC.T_DICT] = (
+        4 + 9.0 * nminis + est_card * max(1, st.range_bits) / 8.0
+        + n * idx_bits / 8.0 + 26
+    )
+    # RLE: runs * (value bytes + length bytes). Length typically tiny.
+    est_runs = max(1.0, n / st.mean_run)
+    sizes[IC.T_RLE] = est_runs * (max(1, st.range_bits) / 8.0 + 1.0) + 52
+    # ZBRA reference pipeline: whole-array width = bits of the max zig-zag'd
+    # FOR-median delta — computable exactly from (vmin, vmax, median):
+    # zigzag(x) = 2x for x>=0, 2|x|-1 for x<0. >=32-bit width falls off the
+    # cliff to 8B/value (compression.rs:143-149).
+    maxpos = max(0, st.vmax - st.med_est)
+    maxneg = max(0, st.med_est - st.vmin)
+    zzmax = max(2 * maxpos, 2 * maxneg - 1 if maxneg else 0)
+    zw = min(64, max(1, int(zzmax).bit_length()))
+    sizes[IC.T_ZBRA] = 13.0 + (n * 8.0 if zw >= 32 else n * zw / 8.0)
+    return sizes
+
+
+def select_int_codec(arr: np.ndarray,
+                     exclude: frozenset = frozenset()) -> int:
+    n = arr.size
+    if n == 0:
+        return IC.T_RAW
+    st = int_stats(arr)
+    if st.vmin == st.vmax:
+        return IC.T_CONST
+    sizes = predict_int_sizes(st)
+    for tag in exclude:
+        sizes.pop(tag, None)
+    # Gate unreliable predictions: DELTA's sampled delta_bits can miss huge
+    # jumps between samples; only trust it when the sample is near-sorted
+    # or deltas are genuinely narrow.
+    if st.sorted_frac < 0.9 and st.delta_bits >= st.range_bits:
+        sizes.pop(IC.T_DELTA, None)
+    if st.mean_run < 1.3:
+        sizes.pop(IC.T_RLE, None)
+    if st.card_ratio > 0.5:
+        sizes.pop(IC.T_DICT, None)
+    return min(sizes, key=sizes.__getitem__)
+
+
+# ---------------------------------------------------------------------------
+# Binary (string) columns
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BinStats:
+    n: int
+    total_bytes: int
+    card_ratio: float
+    mean_len: float
+    distinct_sampled: int
+
+
+def bin_stats(lengths: np.ndarray, n_sample_values: np.ndarray | None,
+              sample_hash: np.ndarray | None = None) -> BinStats:
+    n = int(lengths.size)
+    total = int(lengths.sum()) if n else 0
+    mean_len = total / n if n else 0.0
+    if sample_hash is not None and sample_hash.size:
+        distinct = int(np.unique(sample_hash).size)
+        card_ratio = distinct / sample_hash.size
+    else:
+        distinct, card_ratio = n, 1.0
+    return BinStats(n, total, card_ratio, mean_len, distinct)

@@ -1,0 +1,60 @@
+"""SparkSession builder with the Arrow + AQE settings the engine assumes.
+
+Tuned for the local[N] test harness but every setting is the one you'd set
+on a real multi-executor cluster: Arrow exchange on (the engine's hot path
+is ``mapInArrow``), adaptive query execution + skew-join handling on,
+shuffle partitions sized to cores (overridable for cluster use).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the zseq package importable on executors regardless of the
+    driver's cwd — the programmatic equivalent of
+    ``spark-submit --py-files zseq.zip``. Idempotent per session."""
+    if getattr(spark, "_zseq_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="zseq_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._zseq_shipped = True
+
+
+def get_spark(app: str = "zseq", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              batch_rows: int = 1 << 16) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions or cpus
+    spark = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(sp))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("ZSEQ_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark

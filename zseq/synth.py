@@ -1,0 +1,186 @@
+"""Deterministic synthetic tokens table (the BASELINE.json input_hint shape):
+
+    doc_id: string, tokens: array<int32>, n_tok: int32, source: string
+
+No randomness, no external data: every value is a pure int64-arithmetic
+function of an integer ``doc_id``, so the exact same table can be produced
+by numpy (tests/bench), Spark SQL (the engine under test), and DuckDB SQL
+(the driver's oracle) — which is what lets the driver verify the engine's
+decode output value-by-value against an independent system.
+
+Four token regimes by ``doc_id % 4`` exercise every codec family
+(FIXTURES.md F0):
+
+    0: pseudo-random ids in [0, 50257)       -> vocabulary-sized, zstd/dict
+    1: small-range ids in [0, 251)           -> bit-pack friendly
+    2: arithmetic ramp (monotonic)           -> delta/FOR friendly
+    3: pseudo-random in [0, 2^31-1)          -> incompressible control
+
+Lengths are 16..255 with a heavy row (n_tok = 2048) every 97 docs to
+exercise skew handling; len(tokens) == n_tok always holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+A = 2654435761      # Knuth multiplicative hash constant
+B = 40503
+VOCAB = 50257       # GPT-2-ish vocab size
+SMALL = 251
+WIDE = 2147483647   # 2^31 - 1
+HEAVY_EVERY = 97
+HEAVY_LEN = 2048
+
+SOURCES = ["web", "books", "code", "wiki", "arxiv"]
+
+N_TOK_SQL = (
+    "CASE WHEN {d} % 97 = 0 THEN 2048 "
+    "ELSE 16 + (({d} * 37) % 240) END"
+)
+
+TOKEN_SQL = (
+    "CASE {d} % 4 "
+    "WHEN 0 THEN (({d} + 1) * 2654435761 + {j} * 40503) % 50257 "
+    "WHEN 1 THEN ({d} * 131 + {j} * 7) % 251 "
+    "WHEN 2 THEN ({d} % 1000) + {j} * 3 "
+    "ELSE (({d} + {j} + 1) * 2654435761) % 2147483647 END"
+)
+
+SOURCE_SQL = (
+    "CASE {d} % 5 WHEN 0 THEN 'web' WHEN 1 THEN 'books' "
+    "WHEN 2 THEN 'code' WHEN 3 THEN 'wiki' ELSE 'arxiv' END"
+)
+
+
+def n_tok_of(doc_ids: np.ndarray) -> np.ndarray:
+    d = doc_ids.astype(np.int64)
+    return np.where(d % HEAVY_EVERY == 0, HEAVY_LEN, 16 + (d * 37) % 240)
+
+
+def tokens_of(doc_id: int, n: int) -> np.ndarray:
+    """Token array for one doc (vectorized over j)."""
+    d = np.int64(doc_id)
+    j = np.arange(n, dtype=np.int64)
+    r = int(d % 4)
+    if r == 0:
+        t = ((d + 1) * A + j * B) % VOCAB
+    elif r == 1:
+        t = (d * 131 + j * 7) % SMALL
+    elif r == 2:
+        t = (d % 1000) + j * 3
+    else:
+        t = ((d + j + 1) * A) % WIDE
+    return t.astype(np.int32)
+
+
+def flat_tokens(doc_ids: np.ndarray, n_tok: np.ndarray) -> np.ndarray:
+    """All docs' tokens concatenated — fully vectorized."""
+    total = int(n_tok.sum())
+    d = np.repeat(doc_ids.astype(np.int64), n_tok)
+    offsets = np.zeros(doc_ids.size + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_tok)
+    r = d % 4
+    t = np.empty(total, dtype=np.int64)
+    m = r == 0
+    t[m] = ((d[m] + 1) * A + j[m] * B) % VOCAB
+    m = r == 1
+    t[m] = (d[m] * 131 + j[m] * 7) % SMALL
+    m = r == 2
+    t[m] = (d[m] % 1000) + j[m] * 3
+    m = r == 3
+    t[m] = ((d[m] + j[m] + 1) * A) % WIDE
+    return t.astype(np.int32)
+
+
+def doc_id_str(doc_ids: np.ndarray) -> list[str]:
+    return [f"doc_{int(d):08d}" for d in doc_ids]
+
+
+def tokens_table_arrow(n_docs: int, start: int = 0) -> pa.Table:
+    """The tokens table as a pyarrow Table for doc ids [start, start+n)."""
+    ids = np.arange(start, start + n_docs, dtype=np.int64)
+    n_tok = n_tok_of(ids)
+    flat = flat_tokens(ids, n_tok)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    )
+    src = pa.array([SOURCES[int(d % 5)] for d in ids])
+    return pa.table({
+        "doc_id": pa.array(doc_id_str(ids)),
+        "tokens": tokens,
+        "n_tok": pa.array(n_tok.astype(np.int32)),
+        "source": src,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Spark derivation (from a numeric id column, e.g. the documents table)
+# ---------------------------------------------------------------------------
+
+def tokens_sql_spark(id_expr: str = "d") -> dict[str, str]:
+    """SQL fragments (Spark dialect) keyed by output column."""
+    n_tok = N_TOK_SQL.format(d=id_expr)
+    return {
+        "doc_id": f"concat('doc_', lpad(cast({id_expr} as string), 8, '0'))",
+        "tokens": (
+            f"transform(sequence(0, ({n_tok}) - 1), "
+            f"j -> cast(({TOKEN_SQL.format(d=id_expr, j='j')}) as int))"
+        ),
+        "n_tok": f"cast(({n_tok}) as int)",
+        "source": SOURCE_SQL.format(d=id_expr),
+    }
+
+
+def tokens_sql_duckdb(id_expr: str = "d") -> dict[str, str]:
+    """Same derivation in DuckDB dialect."""
+    n_tok = N_TOK_SQL.format(d=id_expr)
+    return {
+        "doc_id": f"'doc_' || lpad(cast({id_expr} as varchar), 8, '0')",
+        "tokens": (
+            f"list_transform(range(0, ({n_tok})), "
+            f"j -> cast(({TOKEN_SQL.format(d=id_expr, j='j')}) as integer))"
+        ),
+        "n_tok": f"cast(({n_tok}) as integer)",
+        "source": SOURCE_SQL.format(d=id_expr),
+    }
+
+
+def tokens_df_from_documents(spark, sf_dir: str):
+    """Derive the tokens table from the driver's documents parquet
+    (doc_id BIGINT drives everything; source is re-derived so Spark and
+    DuckDB agree byte-for-byte)."""
+    frags = tokens_sql_spark("doc_id")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.selectExpr(
+        f"{frags['doc_id']} as doc_id",
+        f"{frags['tokens']} as tokens",
+        f"{frags['n_tok']} as n_tok",
+        f"{frags['source']} as source",
+    )
+
+
+def tokens_duckdb_sql(table: str = "documents") -> str:
+    frags = tokens_sql_duckdb("doc_id")
+    return (
+        f"SELECT {frags['doc_id']} AS doc_id, {frags['tokens']} AS tokens, "
+        f"{frags['n_tok']} AS n_tok, {frags['source']} AS source "
+        f"FROM {table}"
+    )
+
+
+def tokens_df_range(spark, n_docs: int, partitions: int | None = None):
+    """Self-contained Spark tokens table over spark.range (bench scale)."""
+    frags = tokens_sql_spark("id")
+    rng = spark.range(0, n_docs, 1, partitions) if partitions \
+        else spark.range(n_docs)
+    return rng.selectExpr(
+        f"{frags['doc_id']} as doc_id",
+        f"{frags['tokens']} as tokens",
+        f"{frags['n_tok']} as n_tok",
+        f"{frags['source']} as source",
+    )

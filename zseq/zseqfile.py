@@ -1,0 +1,151 @@
+"""The .zseq blob file format — zseq's equivalent of zbra's binary layer.
+
+Patterned on the reference's file layout (/root/reference/zbra-core/src/
+binary.rs:26-54: magic + JSON'd schema header + block sequence) but not a
+copy: the schema travels as Arrow IPC (exact type fidelity, zero-parse into
+pyarrow), blocks are column-chunked with per-column codec tags, and a
+trailing sentinel + row-count make truncation detectable (the reference's
+reader silently zero-fills truncated data; we refuse).
+
+File layout:
+
+    magic: 16 bytes            b"||_ZSEQ||00001||"
+    meta_len: u32 LE           JSON metadata (writer info, free-form)
+    meta: bytes
+    schema_len: u32 LE         Arrow IPC schema
+    schema: bytes
+    block*:
+        marker: u8 = 1
+        row_count: u32 LE
+        column chunk per schema field (zseq.column format)
+    end: u8 = 0
+    total_rows: u64 LE         integrity check
+
+One .zseq file is written per Spark partition from inside ``mapInArrow``;
+a block is one (possibly coalesced) Arrow RecordBatch — blocks map to the
+reference's Block (binary.rs:182-200), partitions to whole files.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import MAGIC
+from . import column as COL
+
+
+class ZseqWriter:
+    def __init__(self, sink, schema: pa.Schema, meta: dict | None = None):
+        self._sink = sink
+        self.schema = schema
+        self.total_rows = 0
+        self.bytes_written = 0
+        self.codec_stats: dict[str, str] = {}
+        mb = json.dumps(meta or {}).encode()
+        sb = schema.serialize().to_pybytes()
+        self._write(MAGIC)
+        self._write(struct.pack("<I", len(mb)) + mb)
+        self._write(struct.pack("<I", len(sb)) + sb)
+
+    def _write(self, b: bytes) -> None:
+        self._sink.write(b)
+        self.bytes_written += len(b)
+
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        if batch.schema.names != self.schema.names:
+            raise ValueError(
+                f"batch schema {batch.schema.names} != file schema "
+                f"{self.schema.names}"
+            )
+        out = io.BytesIO()
+        out.write(struct.pack("<BI", 1, batch.num_rows))
+        for i, name in enumerate(self.schema.names):
+            out.write(COL.encode_column(batch.column(i), self.codec_stats, name))
+        self._write(out.getvalue())
+        self.total_rows += batch.num_rows
+
+    def finish(self) -> None:
+        self._write(struct.pack("<BQ", 0, self.total_rows))
+
+
+def encode_table(table_or_batches, schema: pa.Schema | None = None,
+                 meta: dict | None = None) -> bytes:
+    """Convenience: encode a pa.Table / list of RecordBatches to bytes."""
+    if isinstance(table_or_batches, pa.Table):
+        schema = table_or_batches.schema
+        batches = table_or_batches.to_batches()
+    else:
+        batches = list(table_or_batches)
+        if schema is None:
+            schema = batches[0].schema
+    sink = io.BytesIO()
+    w = ZseqWriter(sink, schema, meta)
+    for b in batches:
+        w.write_batch(b)
+    w.finish()
+    return sink.getvalue()
+
+
+class ZseqReader:
+    def __init__(self, buf: bytes | memoryview):
+        self._mv = memoryview(buf)
+        if bytes(self._mv[:16]) != MAGIC:
+            raise ValueError("not a .zseq file (bad magic)")
+        pos = 16
+        (mlen,) = struct.unpack_from("<I", self._mv, pos)
+        pos += 4
+        self.meta = json.loads(bytes(self._mv[pos : pos + mlen]) or b"{}")
+        pos += mlen
+        (slen,) = struct.unpack_from("<I", self._mv, pos)
+        pos += 4
+        self.schema = pa.ipc.read_schema(
+            pa.py_buffer(bytes(self._mv[pos : pos + slen]))
+        )
+        pos += slen
+        self._body = pos
+
+    def batches(self):
+        mv = self._mv
+        pos = self._body
+        rows_seen = 0
+        while True:
+            marker = mv[pos]
+            pos += 1
+            if marker == 0:
+                (total,) = struct.unpack_from("<Q", mv, pos)
+                pos += 8
+                if total != rows_seen:
+                    raise ValueError(
+                        f"zseq: row-count mismatch (trailer {total}, "
+                        f"decoded {rows_seen})"
+                    )
+                if pos != len(mv):
+                    raise ValueError("zseq: trailing bytes after end marker")
+                return
+            if marker != 1:
+                raise ValueError(f"zseq: bad block marker {marker}")
+            (nrows,) = struct.unpack_from("<I", mv, pos)
+            pos += 4
+            cols = []
+            for field in self.schema:
+                arr, pos = COL.decode_column(mv, pos, field.type)
+                if len(arr) != nrows:
+                    raise ValueError(
+                        f"zseq: column {field.name} row count {len(arr)} "
+                        f"!= block row count {nrows}"
+                    )
+                cols.append(arr)
+            rows_seen += nrows
+            yield pa.RecordBatch.from_arrays(cols, schema=self.schema)
+
+    def read_all(self) -> pa.Table:
+        return pa.Table.from_batches(list(self.batches()), schema=self.schema)
+
+
+def decode_table(buf: bytes | memoryview) -> pa.Table:
+    return ZseqReader(buf).read_all()
