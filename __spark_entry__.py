@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+zseq is a PySpark-native per-column lightweight-compression engine rebuilt
+from the capabilities of justanotherdot/zbra (see SURVEY.md). ``entry``
+runs the flagship distributed encode -> decode roundtrip; ``queries`` /
+``oracle_sql`` expose every operator with DuckDB-checkable semantics.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the tokens table from sf0.001 documents, run the
+    full distributed encode -> .zseq blobs -> decode roundtrip, and return
+    the decoded table's per-source checksum summary."""
+    from zseq import queries as Q
+
+    df = Q.q_roundtrip_tokens(spark, "/root/testdata/sf0.001")
+    return df.groupBy("source").agg(
+        {"tok_sum": "sum", "n_tok": "sum", "*": "count"}
+    ).selectExpr(
+        "source",
+        "cast(`count(1)` as bigint) as docs",
+        "cast(`sum(n_tok)` as bigint) as total_tokens",
+        "cast(`sum(tok_sum)` as bigint) as checksum",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from zseq import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zseq import queries as Q
+
+    return Q.oracle_sql()

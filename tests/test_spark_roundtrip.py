@@ -52,12 +52,12 @@ def test_manifest_metrics(spark, tokens_df, tmp_path):
 
 def test_resume_skips_done_partitions(spark, tokens_df, tmp_path):
     out = str(tmp_path / "enc3")
-    full = zenc.encode(tokens_df, out, partitions=4)
+    full = zenc.encode(tokens_df, out, partitions=4, mode="hash")
     # simulate a partial failure: delete one part file + the manifest's
     # knowledge of it, then resume
     victim = full.parts[2]
     os.remove(os.path.join(out, victim["file"]))
-    res = zenc.encode(tokens_df, out, partitions=4, resume=True)
+    res = zenc.encode(tokens_df, out, partitions=4, mode="hash", resume=True)
     assert res.total_rows == 2000
     back = zdec.decode(spark, out)
     assert back.count() == 2000
@@ -66,9 +66,9 @@ def test_resume_skips_done_partitions(spark, tokens_df, tmp_path):
 
 def test_resume_partition_count_mismatch_raises(spark, tokens_df, tmp_path):
     out = str(tmp_path / "enc4")
-    zenc.encode(tokens_df, out, partitions=4)
+    zenc.encode(tokens_df, out, partitions=4, mode="hash")
     with pytest.raises(ValueError, match="partitions"):
-        zenc.encode(tokens_df, out, partitions=8, resume=True)
+        zenc.encode(tokens_df, out, partitions=8, mode="hash", resume=True)
 
 
 def test_decode_without_manifest_refuses(spark, tokens_df, tmp_path):

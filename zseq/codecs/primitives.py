@@ -146,16 +146,38 @@ def bp64_unpack(packed: bytes | memoryview, count: int) -> np.ndarray:
 def pack_width(u: np.ndarray, width: int) -> bytes:
     """Pack uint64 values at ``width`` bits each, LSB-first, vectorized.
 
-    Expands each value into its ``width`` bits (n x width uint8 matrix) and
-    repacks with np.packbits(bitorder='little') — equivalent to the
-    reference's scalar bit-buffer loop (compression.rs:152-177).
+    Byte layout is identical to the reference's scalar bit-buffer loop
+    (compression.rs:152-177). Implementation packs groups of 8 values
+    (8*width bits == width whole bytes) into little-endian uint64 lanes —
+    ~8x less memory traffic than an n-by-width bit matrix, which matters
+    because the codec path is memory-bandwidth-bound at high core counts.
     """
     n = u.size
     if n == 0 or width == 0:
         return b""
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((u[:, None] >> shifts) & _U64_1).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    width_u = np.uint64(width)
+    ngroups = (n + 7) // 8
+    if ngroups * 8 != n:
+        g = np.zeros(ngroups * 8, dtype=np.uint64)
+        g[:n] = u
+    else:
+        g = u
+    g = g.reshape(ngroups, 8)
+    nlanes = (8 * width + 63) // 64
+    lanes = np.zeros((ngroups, nlanes), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(8):
+            start = k * width
+            lane, off = divmod(start, 64)
+            off_u = np.uint64(off)
+            lanes[:, lane] |= g[:, k] << off_u
+            if off + width > 64:
+                lanes[:, lane + 1] |= g[:, k] >> np.uint64(64 - off)
+    # Little-endian lane bytes; keep the first `width` bytes per group,
+    # then trim to the exact reference byte count.
+    by = lanes.view("<u8").view(np.uint8).reshape(ngroups, nlanes * 8)
+    out = np.ascontiguousarray(by[:, :width]).reshape(-1)
+    return out[: (n * width + 7) // 8].tobytes()
 
 
 def unpack_width(data, count: int, width: int) -> np.ndarray:
@@ -169,12 +191,24 @@ def unpack_width(data, count: int, width: int) -> np.ndarray:
         raise ValueError(
             f"bitpack: truncated payload ({raw.size} < {nbytes} bytes)"
         )
-    bits = np.unpackbits(raw[:nbytes], count=nbits, bitorder="little")
-    bits = bits.reshape(count, width)
-    out = np.zeros(count, dtype=np.uint64)
-    for b in range(width):
-        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
-    return out
+    ngroups = (count + 7) // 8
+    nlanes = (8 * width + 63) // 64
+    by = np.zeros((ngroups, nlanes * 8), dtype=np.uint8)
+    flat = by[:, :width].reshape(-1)
+    flat[:nbytes] = raw[:nbytes]
+    by[:, :width] = flat.reshape(ngroups, width)
+    lanes = np.ascontiguousarray(by).view("<u8").reshape(ngroups, nlanes)
+    vals = np.empty((ngroups, 8), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    with np.errstate(over="ignore"):
+        for k in range(8):
+            start = k * width
+            lane, off = divmod(start, 64)
+            v = lanes[:, lane] >> np.uint64(off)
+            if off + width > 64:
+                v |= lanes[:, lane + 1] << np.uint64(64 - off)
+            vals[:, k] = v & mask
+    return vals.reshape(-1)[:count]
 
 
 # ---------------------------------------------------------------------------

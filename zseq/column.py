@@ -36,6 +36,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .codecs import bytescodecs as BC
 from .codecs import intcodecs as IC
@@ -63,8 +64,6 @@ def _np_int_dtype(width: int, signed: int):
 def _validity(arr: pa.Array) -> np.ndarray | None:
     if arr.null_count == 0:
         return None
-    import pyarrow.compute as pc
-
     return pc.is_valid(arr).to_numpy(zero_copy_only=False)
 
 
@@ -142,8 +141,6 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_FLOAT) + seg
     if pa.types.is_boolean(t):
-        import pyarrow.compute as pc
-
         vals = pc.fill_null(arr, False).to_numpy(
             zero_copy_only=False).astype(np.int64)
         seg = IC.encode_ints(vals)
@@ -151,8 +148,6 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         return head(K_BOOL) + seg
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        import pyarrow.compute as pc
-
         utf8 = 1 if (pa.types.is_string(t) or pa.types.is_large_string(t)) else 0
         a = arr
         if valid is not None:
@@ -175,8 +170,6 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         note(seg[0], BC.BIN_CODEC_NAMES)
         return head(K_BINARY) + struct.pack("<B", utf8) + seg
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        import pyarrow.compute as pc
-
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
             if lengths.dtype.kind == "f" else lengths.astype(np.int64)

