@@ -1,0 +1,95 @@
+"""Schema/logical-layer operator tests, mirroring the reference's
+schema-validation and boundary suites
+(/root/reference/zbra-core/tests/schema-validation.rs:13-140,
+boundary-validation.rs:8-34, roundtrip.rs merge properties :56-88)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from zseq import schema as S
+
+
+def test_schema_self_validation():
+    with pytest.raises(S.SchemaError, match="empty struct"):
+        S.TableSchema([]).validate()
+    with pytest.raises(S.SchemaError, match="duplicate"):
+        S.TableSchema([
+            S.Field("a", T.LongType()), S.Field("a", T.StringType()),
+        ]).validate()
+    with pytest.raises(S.SchemaError, match="empty struct"):
+        S.TableSchema([
+            S.Field("s", T.StructType([])),
+        ]).validate()
+    S.TOKENS_SCHEMA.validate()
+
+
+def test_spark_roundtrip_of_schema():
+    st = S.TOKENS_SCHEMA.to_spark()
+    back = S.TableSchema.from_spark(st)
+    assert [f.name for f in back.fields] == ["doc_id", "tokens", "n_tok",
+                                             "source"]
+    assert not back.fields[0].nullable
+
+
+def test_validate_table_type_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2, "web"), ("b", [3], 1, "code")],
+        S.TOKENS_SCHEMA.to_spark())
+    S.validate_table(df, S.TOKENS_SCHEMA)
+    wrong = df.withColumnRenamed("n_tok", "len")
+    with pytest.raises(S.SchemaError, match="schema mismatch"):
+        S.validate_table(wrong, S.TOKENS_SCHEMA)
+    nullable_schema = S.TableSchema(
+        [S.Field("x", T.LongType(), nullable=False)])
+    df2 = spark.createDataFrame([(1,), (None,)], "x long")
+    with pytest.raises(S.SchemaError, match="nulls in Deny"):
+        S.validate_table(df2, nullable_schema)
+
+
+def test_date_range_boundaries(spark):
+    """Exactly at 0 / DATE_MAX_MS / +-1 (boundary-validation.rs:8-34)."""
+    df = spark.createDataFrame(
+        [(0,), (S.DATE_MAX_MS,), (-1,), (S.DATE_MAX_MS + 1,)], "ts long")
+    row = S.validate_values(df, date_cols=["ts"]).collect()[0]
+    assert row["ts_date_range_violations"] == 2
+
+
+def test_merge_tables(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(2, "y")], "k long, v string")
+    assert S.merge_tables(a, b).count() == 2
+    c = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(S.SchemaError, match="column sets differ"):
+        S.merge_tables(a, c)
+
+
+def test_merge_maps_keywise(spark):
+    a = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b = spark.createDataFrame([(2, 20), (3, 30)], "k long, v long")
+    out = {r.k: r.v for r in S.merge_maps(a, b, "k").collect()}
+    assert out == {1: 10, 2: 20, 3: 30}
+
+
+def test_merge_maps_conflict_raises(spark):
+    a = spark.createDataFrame([(1, 10)], "k long, v long")
+    b = spark.createDataFrame([(1, 99)], "k long, v long")
+    with pytest.raises(Exception, match="merge conflict"):
+        S.merge_maps(a, b, "k").collect()
+    assert S.merge_maps(a, b, "k", resolve="left").collect()[0].v == 10
+    assert S.merge_maps(a, b, "k", resolve="right").collect()[0].v == 99
+
+
+def test_fill_defaults(spark):
+    df = spark.createDataFrame(
+        [(None, None, None), (1, "x", 2.5)],
+        "i long, s string, d double")
+    out = S.fill_defaults(df).collect()
+    row = sorted(out, key=lambda r: r.i)[0]
+    assert (row.i, row.s, row.d) == (0, "", 0.0)
+
+
+def test_take_typed(spark):
+    df = spark.createDataFrame([(1, "x")], "i long, s string")
+    S.take_typed(df, "i", T.LongType())
+    with pytest.raises(S.SchemaError, match="expected"):
+        S.take_typed(df, "i", T.StringType())

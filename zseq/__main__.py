@@ -1,0 +1,140 @@
+"""zseq CLI — the rebuild of the reference's entry points
+(/root/reference/zbra-cli/src/main.rs: convert/info/validate/example).
+
+    python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash]
+    python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
+    python -m zseq info    ENC_DIR
+    python -m zseq verify  INPUT_PARQUET_DIR ENC_DIR      (bit-identical gate)
+    python -m zseq synth   OUT_PARQUET_DIR --docs N       (deterministic corpus)
+
+Run standalone (builds its own local SparkSession) or via
+``spark-submit --py-files zseq.zip -m zseq`` on a cluster; the package also
+auto-ships itself to executors (session.ship_package).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("zseq-cli", master=args.master)
+
+
+def cmd_encode(args) -> int:
+    spark = _spark(args)
+    from . import encode as zenc
+
+    if args.mode == "files":
+        res = zenc.encode_parquet(spark, args.input, args.out,
+                                  resume=args.resume)
+    else:
+        df = spark.read.parquet(args.input)
+        res = zenc.encode(df, args.out, mode=args.mode,
+                          partitions=args.partitions, resume=args.resume)
+    print(json.dumps(res.manifest["totals"] | {"parts": len(res.parts)}))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    spark = _spark(args)
+    from . import decode as zdec
+
+    df = zdec.decode(spark, args.input, allow_partial=args.allow_partial)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .encode import read_manifest
+
+    m = read_manifest(args.input)
+    if m is None:
+        print(f"error: no manifest.json in {args.input}", file=sys.stderr)
+        return 1
+    view = {
+        "format": m["format"], "mode": m.get("mode"),
+        "partitions": m["partitions"], "schema": m["schema_names"],
+        "totals": m["totals"],
+        "ratio": round(m["totals"]["raw_bytes"]
+                       / max(1, m["totals"]["enc_bytes"]), 3),
+        "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
+    }
+    print(json.dumps(view, indent=2))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Decode and compare vs source by sorted-row equality (the
+    reference's E4 validate + roundtrip check, main.rs:404-445)."""
+    spark = _spark(args)
+    from . import decode as zdec
+
+    src = spark.read.parquet(args.input)
+    dec = zdec.decode(spark, args.enc)
+    key = args.key or src.columns[0]
+    a = src.orderBy(key).collect()
+    b = dec.select(src.columns).orderBy(key).collect()
+    ok = a == b
+    print(json.dumps({"rows": len(a), "bit_identical": ok}))
+    return 0 if ok else 2
+
+
+def cmd_synth(args) -> int:
+    spark = _spark(args)
+    from . import synth
+
+    df = synth.tokens_df_range(spark, args.docs)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"docs": args.docs, "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="zseq")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input")
+    e.add_argument("out")
+    e.add_argument("--mode", choices=["files", "preserve", "hash"],
+                   default="files")
+    e.add_argument("--partitions", type=int, default=None)
+    e.add_argument("--resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("input")
+    d.add_argument("out")
+    d.add_argument("--allow-partial", action="store_true")
+    d.set_defaults(fn=cmd_decode)
+
+    i = sub.add_parser("info")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_info)
+
+    v = sub.add_parser("verify")
+    v.add_argument("input")
+    v.add_argument("enc")
+    v.add_argument("--key", default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("synth")
+    s.add_argument("out")
+    s.add_argument("--docs", type=int, default=10000)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
