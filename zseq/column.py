@@ -12,10 +12,13 @@ integrity checks (:541-548, :573-580).
 
 Column chunk wire format:
 
-    kind: u8 | count: u32 LE | flags: u8 | [validity] | body
+    kind: u8 | count: u32 LE | flags: u8 | [validity] | [stats] | body
 
     flags bit0: has validity bitmap
+    flags bit1: has zone-map stats
     validity:   nbytes u32 LE + LSB-first bitmap (np.packbits little)
+    stats:      min i64 LE + max i64 LE over non-null values (INT kinds,
+                incl. timestamps) — the block-skipping zone map
 
     kind 1 INT     width u8, signed u8, int segment (values widened to i64)
     kind 2 DOUBLE  int segment of float64 bit patterns (the reference's
@@ -88,14 +91,21 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
     t = arr.type
     n = len(arr)
     valid = _validity(arr)
-    flags = 1 if valid is not None else 0
     vseg = b""
     if valid is not None:
         bits = np.packbits(valid, bitorder="little").tobytes()
         vseg = struct.pack("<I", len(bits)) + bits
 
-    def head(kind: int) -> bytes:
-        return _HEAD.pack(kind, n, flags) + vseg
+    def head(kind: int, stats: bytes = b"") -> bytes:
+        flags = (1 if valid is not None else 0) | (2 if stats else 0)
+        return _HEAD.pack(kind, n, flags) + vseg + stats
+
+    def int_stats(v64: np.ndarray) -> bytes:
+        """Zone map over int64 values (conservative: nulls already
+        normalized to 0, which can only widen the range)."""
+        if v64.size == 0:
+            return b""
+        return struct.pack("<qq", int(v64.min()), int(v64.max()))
 
     def note(codec_tag: int, names) -> None:
         if stats is not None:
@@ -108,14 +118,14 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             vals = np.where(valid, vals, 0)
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT) + struct.pack("<BB", 8, 1) + seg
+        return head(K_INT, int_stats(vals)) + struct.pack("<BB", 8, 1) + seg
     if pa.types.is_date32(t) or pa.types.is_time32(t):
         vals = _int_values(arr, np.int32).astype(np.int64)
         if valid is not None:
             vals = np.where(valid, vals, 0)
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT) + struct.pack("<BB", 4, 1) + seg
+        return head(K_INT, int_stats(vals)) + struct.pack("<BB", 4, 1) + seg
     if t in _INT_TYPES:
         width, signed = _INT_TYPES[t]
         vals = _int_values(arr, _np_int_dtype(width, signed))
@@ -125,7 +135,8 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             v64 = np.where(valid, v64, 0)
         seg = IC.encode_ints(v64)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT) + struct.pack("<BB", width, signed) + seg
+        return head(K_INT, int_stats(v64)) + struct.pack(
+            "<BB", width, signed) + seg
     if pa.types.is_float64(t):
         vals = _int_values(arr, np.float64).view(np.int64)
         if valid is not None:
@@ -182,6 +193,23 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
     raise NotImplementedError(f"zseq: unsupported Arrow type {t}")
 
 
+def chunk_stats(buf, offset: int) -> tuple[int, int, tuple[int, int] | None]:
+    """Read (kind, count, zone_map) from a chunk header WITHOUT decoding
+    the body. zone_map is (min, max) in int64 value domain for INT kinds
+    that carry stats, else None."""
+    mv = memoryview(buf)
+    kind, n, flags = _HEAD.unpack_from(mv, offset)
+    pos = offset + _HEAD.size
+    if flags & 1:
+        (nbytes,) = struct.unpack_from("<I", mv, pos)
+        pos += 4 + nbytes
+    zm = None
+    if flags & 2:
+        lo, hi = struct.unpack_from("<qq", mv, pos)
+        zm = (lo, hi)
+    return kind, n, zm
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
@@ -201,6 +229,8 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
         pos += nbytes
         valid = np.unpackbits(bits, count=n, bitorder="little").astype(bool)
         validity_buf = pa.py_buffer(bits.tobytes())
+    if flags & 2:
+        pos += 16  # zone-map stats (used by chunk_stats, not decode)
 
     if kind == K_INT:
         width, signed = struct.unpack_from("<BB", mv, pos)

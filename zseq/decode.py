@@ -18,7 +18,9 @@ from .encode import read_manifest
 from .zseqfile import ZseqReader
 
 
-def _decode_files(schema_names: list[str], crcs: dict[str, int] | None):
+def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
+                  columns: list[str] | None = None,
+                  predicate: list[tuple] | None = None):
     def fn(batches):
         import os
         import zlib
@@ -40,14 +42,22 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None):
                         f"{path}: schema {r.schema.names} != manifest "
                         f"{schema_names}"
                     )
-                yield from r.batches()
+                yield from r.batches(columns, predicate)
 
     return fn
 
 
 def decode(spark: SparkSession, out_dir: str,
-            allow_partial: bool = False) -> DataFrame:
-    """Read an encoded dataset back as a DataFrame."""
+            allow_partial: bool = False,
+            columns: list[str] | None = None,
+            predicate: list[tuple] | None = None) -> DataFrame:
+    """Read an encoded dataset back as a DataFrame.
+
+    ``columns`` -> projection pushdown into the blob reader (unrequested
+    columns are seeked past, never decompressed). ``predicate`` -> a
+    conjunction of (col, op, int_value) pruned against per-block zone
+    maps; surviving blocks may still hold non-matching rows, so compose
+    with a normal ``.filter`` for exact semantics."""
     from .session import ship_package
 
     ship_package(spark)
@@ -83,5 +93,10 @@ def decode(spark: SparkSession, out_dir: str,
         {p["file"]: p["crc32"] for p in manifest.get("parts", [])}
         if manifest else None
     )
+    if columns is not None:
+        schema = pa.schema([
+            schema.field(n) for n in schema.names if n in set(columns)
+        ])
     spark_schema = from_arrow_schema(schema)
-    return files.mapInArrow(_decode_files(names, crcs), spark_schema)
+    return files.mapInArrow(
+        _decode_files(names, crcs, columns, predicate), spark_schema)

@@ -1,0 +1,84 @@
+"""Structured Streaming ingest: a stream of rows -> .zseq epochs.
+
+The reference's "streaming" is chunked file I/O in its benches
+(/root/reference/zbra-core/benches/streaming-io.rs:8-51 — 1000-row chunks,
+single process). The Spark-native rebuild is real streaming: any
+``readStream`` source feeds ``foreachBatch``, each micro-batch is encoded
+into its own epoch directory with the standard atomic manifest, and epoch
+replay (Spark's at-least-once foreachBatch contract) is made exactly-once
+by the manifest commit: a replayed epoch that already committed is a no-op.
+
+    out_dir/
+      epoch-00000000/ part-*.zseq + manifest.json
+      epoch-00000001/ ...
+
+``decode_stream`` reads the union of committed epochs — uncommitted
+(crashed mid-epoch) directories are invisible, preserving the
+encode-side atomicity across the streaming boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import encode as zenc
+
+
+def epoch_dir(out_dir: str, epoch_id: int) -> str:
+    return os.path.join(out_dir, f"epoch-{epoch_id:08d}")
+
+
+def committed_epochs(out_dir: str) -> list[str]:
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if name.startswith("epoch-") and \
+                os.path.exists(os.path.join(d, "manifest.json")):
+            out.append(d)
+    return out
+
+
+def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint: str,
+                  partitions: int | None = None, cluster: bool = True,
+                  available_now: bool = True):
+    """Start the streaming encode. Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently available and
+    stops (the batch-ingest pattern); pass False for a continuous query.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        dest = epoch_dir(out_dir, epoch_id)
+        if os.path.exists(os.path.join(dest, "manifest.json")):
+            return  # replayed epoch — already committed, exactly-once
+        zenc.encode(batch_df, dest, mode="hash",
+                    partitions=partitions
+                    or batch_df.sparkSession.sparkContext.defaultParallelism,
+                    cluster=cluster)
+
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decode_stream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All committed epochs as one DataFrame."""
+    from . import decode as zdec
+
+    epochs = committed_epochs(out_dir)
+    if not epochs:
+        raise FileNotFoundError(f"no committed epochs in {out_dir}")
+    df = zdec.decode(spark, epochs[0])
+    for d in epochs[1:]:
+        df = df.unionByName(zdec.decode(spark, d))
+    return df

@@ -17,9 +17,15 @@ File layout:
     block*:
         marker: u8 = 1
         row_count: u32 LE
-        column chunk per schema field (zseq.column format)
+        per schema field: chunk_len u32 LE + column chunk (zseq.column)
     end: u8 = 0
     total_rows: u64 LE         integrity check
+
+    The per-column length prefix is what makes the format *columnar on
+    read*: projection pushdown (decode only requested columns, seek past
+    the rest) and predicate pushdown (zone-map min/max in int chunk
+    headers -> skip whole blocks without decoding) both cost zero
+    decompression work for skipped data.
 
 One .zseq file is written per Spark partition from inside ``mapInArrow``;
 a block is one (possibly coalesced) Arrow RecordBatch — blocks map to the
@@ -65,7 +71,10 @@ class ZseqWriter:
         out = io.BytesIO()
         out.write(struct.pack("<BI", 1, batch.num_rows))
         for i, name in enumerate(self.schema.names):
-            out.write(COL.encode_column(batch.column(i), self.codec_stats, name))
+            chunk = COL.encode_column(batch.column(i), self.codec_stats,
+                                      name)
+            out.write(struct.pack("<I", len(chunk)))
+            out.write(chunk)
         self._write(out.getvalue())
         self.total_rows += batch.num_rows
 
@@ -109,7 +118,29 @@ class ZseqReader:
         pos += slen
         self._body = pos
 
-    def batches(self):
+    def batches(self, columns: list[str] | None = None,
+                predicate: list[tuple[str, str, int]] | None = None):
+        """Decode blocks, with pushdown:
+
+        ``columns``: decode only these fields (others are seeked past via
+        their chunk-length prefix — zero decompression work).
+        ``predicate``: conjunction of (col, op, value) with op in
+        {'>', '>=', '<', '<=', '=', '!='} over int-kind columns, values in
+        the storage domain (e.g. micros for timestamp[us]). Blocks whose
+        zone maps prove the conjunction empty are skipped whole. This is
+        block-level pruning, not row filtering: surviving blocks may still
+        contain non-matching rows (Spark's own filter handles those).
+        """
+        names = list(self.schema.names)
+        if columns is not None:
+            missing = set(columns) - set(names)
+            if missing:
+                raise KeyError(f"zseq: unknown columns {sorted(missing)}")
+        sel = set(columns) if columns is not None else set(names)
+        out_schema = pa.schema(
+            [self.schema.field(n) for n in names if n in sel])
+        self.blocks_read = 0
+        self.blocks_skipped = 0
         mv = self._mv
         pos = self._body
         rows_seen = 0
@@ -131,21 +162,69 @@ class ZseqReader:
                 raise ValueError(f"zseq: bad block marker {marker}")
             (nrows,) = struct.unpack_from("<I", mv, pos)
             pos += 4
+            rows_seen += nrows
+            # First pass: chunk offsets + zone maps (headers only).
+            offsets: dict[str, int] = {}
+            zonemaps: dict[str, tuple[int, int] | None] = {}
+            for name in names:
+                (clen,) = struct.unpack_from("<I", mv, pos)
+                pos += 4
+                offsets[name] = pos
+                if predicate:
+                    _kind, _cnt, zm = COL.chunk_stats(mv, pos)
+                    zonemaps[name] = zm
+                pos += clen
+            if predicate and _block_provably_empty(predicate, zonemaps):
+                self.blocks_skipped += 1
+                continue
+            self.blocks_read += 1
             cols = []
-            for field in self.schema:
-                arr, pos = COL.decode_column(mv, pos, field.type)
+            for name in names:
+                if name not in sel:
+                    continue
+                arr, _end = COL.decode_column(
+                    mv, offsets[name], self.schema.field(name).type)
                 if len(arr) != nrows:
                     raise ValueError(
-                        f"zseq: column {field.name} row count {len(arr)} "
+                        f"zseq: column {name} row count {len(arr)} "
                         f"!= block row count {nrows}"
                     )
                 cols.append(arr)
-            rows_seen += nrows
-            yield pa.RecordBatch.from_arrays(cols, schema=self.schema)
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
-    def read_all(self) -> pa.Table:
-        return pa.Table.from_batches(list(self.batches()), schema=self.schema)
+    def read_all(self, columns: list[str] | None = None,
+                 predicate=None) -> pa.Table:
+        names = list(self.schema.names)
+        sel = set(columns) if columns is not None else set(names)
+        out_schema = pa.schema(
+            [self.schema.field(n) for n in names if n in sel])
+        return pa.Table.from_batches(
+            list(self.batches(columns, predicate)), schema=out_schema)
 
 
-def decode_table(buf: bytes | memoryview) -> pa.Table:
-    return ZseqReader(buf).read_all()
+_OPS = {
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    "!=": lambda lo, hi, v: not (lo == hi == v),
+}
+
+
+def _block_provably_empty(predicate, zonemaps) -> bool:
+    """True when any conjunct can't match the block's zone map."""
+    for col, op, value in predicate:
+        zm = zonemaps.get(col)
+        if zm is None:
+            continue  # no stats -> can't prune on this conjunct
+        if op not in _OPS:
+            raise ValueError(f"zseq: unsupported predicate op {op!r}")
+        if not _OPS[op](zm[0], zm[1], int(value)):
+            return True
+    return False
+
+
+def decode_table(buf: bytes | memoryview, columns: list[str] | None = None,
+                 predicate=None) -> pa.Table:
+    return ZseqReader(buf).read_all(columns, predicate)
