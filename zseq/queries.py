@@ -299,6 +299,45 @@ FROM ({synth.tokens_duckdb_sql('documents')}) GROUP BY source
 """
 
 
+def q_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pushdown: decode only 3 of 4 columns from the blobs
+    (tokens, the heavy column, is seeked past — never decompressed)."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_proj_")
+    zenc.encode(df, out, partitions=4)
+    return zdec.decode(spark, out, columns=["doc_id", "n_tok", "source"]) \
+        .selectExpr("doc_id", "cast(n_tok as bigint) as n_tok", "source")
+
+
+def q_pushdown_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map predicate pushdown: block-level pruning composed with an
+    exact Spark filter (superset semantics -> exact result)."""
+    from . import decode as zdec
+    from . import encode as zenc
+    from .synth import HEAVY_LEN
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_pred_")
+    zenc.encode(df, out, partitions=4)
+    dec = zdec.decode(spark, out, columns=["doc_id", "n_tok"],
+                      predicate=[("n_tok", "=", HEAVY_LEN)])
+    return dec.filter(f"n_tok = {HEAVY_LEN}").selectExpr(
+        "doc_id", "cast(n_tok as bigint) as n_tok")
+
+
+_Q_PROJ_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok, source FROM ({inner})
+"""
+
+_Q_PRED_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok FROM ({inner})
+WHERE n_tok = {heavy}
+"""
+
+
 def q_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage/metrics surface (rows-only check: sizes depend on codec
     choices, not SQL-expressible)."""
@@ -422,6 +461,8 @@ def queries() -> dict:
         "defaults_fill": q_defaults_fill,
         "shred_lengths": q_shred_lengths,
         "encode_metrics": q_encode_metrics,
+        "pushdown_projection": q_pushdown_projection,
+        "pushdown_predicate": q_pushdown_predicate,
         "text_analyze": q_text_analyze,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -471,6 +512,11 @@ def oracle_sql() -> dict:
         "defaults_fill": _Q_DEFAULTS_ORACLE,
         "shred_lengths": _Q_SHRED_ORACLE,
         # encode_metrics: intentionally no oracle (rows-only check).
+        "pushdown_projection": _Q_PROJ_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
+        "pushdown_predicate": _Q_PRED_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents"),
+            heavy=synth.HEAVY_LEN),
         "text_analyze": _text_analyze_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
