@@ -241,7 +241,11 @@ def select_bin_codec(lengths: np.ndarray, data: np.ndarray) -> int:
         est[T_BIN_DICT] = (
             min(dict_bytes, total) * 0.7 + n * idx_bits / 8.0 + 64
         )
-    if mean_len <= FSST_MAX_MEAN_LEN and total >= 1024:
+    # FSST trial costs a table build (~0.1 s); skip when zstd already
+    # compresses the sample below what FSST ever reaches on short strings
+    # (~3-6x), or when strings are long (zstd's home turf).
+    zstd_ratio = est[T_BIN_ZSTD] / max(1.0, float(total))
+    if mean_len <= FSST_MAX_MEAN_LEN and total >= 1024 and zstd_ratio > 0.22:
         table = fsst.build_table(sample_vals)
         slens = np.array([len(v) for v in sample_vals], dtype=np.int64)
         sdata = np.frombuffer(sample_blob, dtype=np.uint8)
