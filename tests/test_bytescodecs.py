@@ -31,7 +31,7 @@ CASES = {
 def test_roundtrip(name, codec):
     lens, data = _col(CASES[name])
     enc = BC.encode_binary(lens, data, codec=codec)
-    l2, d2, pos = BC.decode_binary(enc)
+    l2, d2, pos = BC.decode_binary(enc, 0, lens.size)
     assert pos == len(enc)
     assert np.array_equal(l2, lens)
     assert np.array_equal(d2, data)
@@ -57,7 +57,7 @@ def test_dict_on_categorical():
 def test_roundtrip_property(strs, codec):
     lens, data = _col(strs)
     enc = BC.encode_binary(lens, data, codec=codec)
-    l2, d2, _ = BC.decode_binary(enc)
+    l2, d2, _ = BC.decode_binary(enc, 0, lens.size)
     assert np.array_equal(l2, lens)
     assert np.array_equal(d2, data)
 

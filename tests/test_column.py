@@ -14,7 +14,7 @@ from zseq import column as C
 
 def rt(arr: pa.Array) -> pa.Array:
     enc = C.encode_column(arr)
-    dec, pos = C.decode_column(enc, 0, arr.type)
+    dec, pos = C.decode_column(enc, 0, arr.type, len(arr))
     assert pos == len(enc)
     return dec
 
@@ -105,7 +105,7 @@ def test_list_child_count_strictness():
     enc = bytearray(C.encode_column(arr))
     # Corrupt: claim 3 rows but keep child — framing must refuse garbage
     with pytest.raises(Exception):
-        C.decode_column(bytes(enc[:-4]), 0, arr.type)
+        C.decode_column(bytes(enc[:-4]), 0, arr.type, len(arr))
 
 
 def test_timestamp_tz():

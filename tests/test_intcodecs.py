@@ -8,7 +8,8 @@ from hypothesis import strategies as st
 from zseq import select
 from zseq.codecs import intcodecs as IC
 
-ALL_CODECS = [IC.T_RAW, IC.T_ZBRA, IC.T_FORBP, IC.T_DELTA, IC.T_DICT, IC.T_RLE]
+ALL_CODECS = [IC.T_RAW, IC.T_ZBRA, IC.T_PACK, IC.T_FORBP, IC.T_DELTA,
+              IC.T_DICT, IC.T_RLE]
 
 CASES = {
     "sequential": np.arange(10000, dtype=np.int64) * 3 + 7,
@@ -33,7 +34,7 @@ def test_forced_codec_roundtrip(name, codec):
     if codec == IC.T_DELTA and arr.size < 2:
         pytest.skip("delta needs >=2 values")
     enc = IC.encode_ints(arr, codec=codec)
-    dec, pos = IC.decode_ints(enc)
+    dec, pos = IC.decode_ints(enc, 0, arr.size)
     assert pos == len(enc)
     assert np.array_equal(dec, arr)
 
@@ -42,7 +43,7 @@ def test_forced_codec_roundtrip(name, codec):
 def test_auto_roundtrip_and_never_worse_than_raw_plus_slack(name):
     arr = CASES[name]
     enc = IC.encode_ints(arr)
-    dec, _ = IC.decode_ints(enc)
+    dec, _ = IC.decode_ints(enc, 0, arr.size)
     assert np.array_equal(dec, arr)
     assert len(enc) <= arr.size * 8 + 64 + arr.size  # sane upper bound
 
@@ -53,7 +54,7 @@ def test_auto_roundtrip_and_never_worse_than_raw_plus_slack(name):
 def test_auto_property(values):
     arr = np.array(values, dtype=np.int64)
     enc = IC.encode_ints(arr)
-    dec, pos = IC.decode_ints(enc)
+    dec, pos = IC.decode_ints(enc, 0, arr.size)
     assert pos == len(enc)
     assert np.array_equal(dec, arr)
 
@@ -68,7 +69,7 @@ def test_every_codec_property(values, codec):
     if codec == IC.T_DELTA and arr.size < 2:
         return
     enc = IC.encode_ints(arr, codec=codec)
-    dec, _ = IC.decode_ints(enc)
+    dec, _ = IC.decode_ints(enc, 0, arr.size)
     assert np.array_equal(dec, arr)
 
 
@@ -77,7 +78,8 @@ def test_selector_picks_sensibly():
     assert IC.encode_ints(CASES["sequential"])[0] == IC.T_DELTA
     assert IC.encode_ints(CASES["repetitive"])[0] == IC.T_RLE
     # small-range data must land on something bit-packing-shaped
-    assert IC.encode_ints(CASES["small_range"])[0] in (IC.T_FORBP, IC.T_ZBRA)
+    assert IC.encode_ints(CASES["small_range"])[0] in (
+        IC.T_FORBP, IC.T_PACK, IC.T_ZBRA)
 
 
 def test_selected_size_beats_zbra_on_all_compressible_cases():
@@ -92,15 +94,18 @@ def test_selected_size_beats_zbra_on_all_compressible_cases():
 def test_truncated_segment_raises():
     enc = IC.encode_ints(np.arange(1000))
     with pytest.raises(ValueError):
-        IC.decode_ints(enc[: len(enc) - 5])
+        IC.decode_ints(enc[: len(enc) - 5], 0, 1000)
 
 
 def test_rle_bad_lengths_raises():
+    import struct
+
     vals = IC.encode_ints(np.array([1, 2]), codec=IC.T_RAW)
     lens = IC.encode_ints(np.array([3, 4]), codec=IC.T_RAW)
-    seg = IC.HEADER.pack(IC.T_RLE, 5, len(vals) + len(lens)) + vals + lens
+    payload = struct.pack("<I", 2) + vals + lens
+    seg = IC.HEADER.pack(IC.T_RLE, len(payload)) + payload
     with pytest.raises(ValueError):
-        IC.decode_ints(seg)
+        IC.decode_ints(seg, 0, 5)
 
 
 def test_stats_and_prediction_shapes():

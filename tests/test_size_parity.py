@@ -87,6 +87,29 @@ def test_iot_fixture_beats_reference():
         assert ours[col] <= zbra[col], (col, ours[col], zbra[col])
 
 
+@pytest.mark.parametrize("table", [
+    "lineitem", "orders", "customer", "events", "documents",
+    "embeddings", "supplier", "part", "nation", "region",
+])
+def test_real_testdata_beats_reference_per_column(table):
+    """The ≤-reference gate on every column of every driver test table —
+    not just the synthetic corpus."""
+    import pyarrow.parquet as pq
+
+    from zseq import column as C
+
+    path = f"/root/testdata/sf0.001/{table}.parquet"
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    tbl = pq.read_table(path)
+    for name in tbl.column_names:
+        ours = len(C.encode_column(tbl.column(name).combine_chunks()))
+        zbra = oracle.column_size(tbl.column(name))
+        assert ours <= zbra, (table, name, ours, zbra)
+
+
 def test_e2e_compression_ratio_floor():
     """integration-validation.rs:291-295 asserts >1.5x on time-series; the
     rebuild must clear the same floor on its own format."""

@@ -4,7 +4,9 @@ A binary column is (lengths: int64[n], data: concatenated uint8) — the same
 lengths+data decomposition as the reference's striped Binary column
 (/root/reference/zbra-core/src/striped.rs:41-46). Encoded as a segment:
 
-    tag: u8 | count: u32 LE | payload_len: u32 LE | payload
+    tag: u8 | payload_len: u32 LE | payload
+
+(the value count comes from context, like all zseq segments).
 
 Codecs:
   BIN_RAW    lengths segment + raw bytes
@@ -59,8 +61,8 @@ def zstd_decompress(data, raw_size: int) -> bytes:
     return _zstd.decompress(bytes(data), decompressed_size=raw_size, asbytes=True)
 
 
-def _seg(tag: int, count: int, payload: bytes) -> bytes:
-    return IC.HEADER.pack(tag, count, len(payload)) + payload
+def _seg(tag: int, payload: bytes) -> bytes:
+    return IC.HEADER.pack(tag, len(payload)) + payload
 
 
 def _offsets(lengths: np.ndarray) -> np.ndarray:
@@ -81,7 +83,7 @@ def _enc_zstd(lengths: np.ndarray, data: np.ndarray) -> bytes:
     comp = zstd_compress(data)
     return (
         IC.encode_ints(lengths)
-        + struct.pack("<QQ", data.size, len(comp))
+        + struct.pack("<Q", data.size)
         + comp
     )
 
@@ -114,7 +116,7 @@ def _enc_dict(lengths: np.ndarray, data: np.ndarray) -> bytes:
         sub_tag = T_BIN_ZSTD
     dict_seg = encode_binary(dlens, dbuf, codec=sub_tag)
     idx_seg = IC.encode_ints(idx, exclude=frozenset({IC.T_DICT}))
-    return dict_seg + idx_seg
+    return struct.pack("<I", dlens.size) + dict_seg + idx_seg
 
 
 # ---------------------------------------------------------------------------
@@ -136,49 +138,56 @@ def encode_binary(lengths: np.ndarray, data: np.ndarray,
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = lengths.size
     if n == 0:
-        return _seg(T_BIN_RAW, 0, b"")
+        return _seg(T_BIN_RAW, b"")
     if codec is None:
+        if int(lengths.sum()) + 8 * n < 4096:
+            # Tiny column: exact trial of every candidate is ~free and
+            # sampling-based estimates are least reliable here.
+            cands = [T_BIN_RAW, T_BIN_ZSTD, T_BIN_DICT]
+            segs = [
+                _seg(c, _ENCODERS[c](lengths, data)) for c in cands
+            ]
+            return min(segs, key=len)
         codec = select_bin_codec(lengths, data)
-    return _seg(codec, n, _ENCODERS[codec](lengths, data))
+    return _seg(codec, _ENCODERS[codec](lengths, data))
 
 
-def decode_binary(buf, offset: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+def decode_binary(buf, offset: int, count: int) -> tuple[np.ndarray, np.ndarray, int]:
     """-> (lengths int64, data uint8, next offset)."""
     mv = memoryview(buf)
-    tag, count, plen = IC.HEADER.unpack_from(mv, offset)
+    tag, plen = IC.HEADER.unpack_from(mv, offset)
     start = offset + IC.HEADER.size
     end = start + plen
     if end > len(mv):
         raise ValueError("bin segment: truncated payload")
     payload = mv[start:end]
     if count == 0:
+        if plen:
+            raise ValueError("bin segment: payload for zero values")
         return np.zeros(0, np.int64), np.zeros(0, np.uint8), end
 
     if tag == T_BIN_RAW:
-        lengths, pos = IC.decode_ints(payload, 0)
+        lengths, pos = IC.decode_ints(payload, 0, count)
         data = np.frombuffer(payload[pos:], dtype=np.uint8)
         if data.size != int(lengths.sum()):
             raise ValueError("bin_raw: data size mismatch")
         return lengths, data.copy(), end
     if tag == T_BIN_ZSTD:
-        lengths, pos = IC.decode_ints(payload, 0)
-        raw_size, comp_size = struct.unpack_from("<QQ", payload, pos)
-        pos += 16
-        comp = payload[pos : pos + comp_size]
-        if len(comp) != comp_size:
-            raise ValueError("bin_zstd: truncated compressed bytes")
+        lengths, pos = IC.decode_ints(payload, 0, count)
+        (raw_size,) = struct.unpack_from("<Q", payload, pos)
+        pos += 8
+        comp = payload[pos:]
         raw = zstd_decompress(comp, raw_size)
         data = np.frombuffer(raw, dtype=np.uint8)
         if data.size != int(lengths.sum()):
             raise ValueError("bin_zstd: data size mismatch")
         return lengths, data, end
     if tag == T_BIN_DICT:
-        dlens, dbuf, pos = decode_binary(payload, 0)
-        idx, pos = IC.decode_ints(payload, pos)
+        (card,) = struct.unpack_from("<I", payload, 0)
+        dlens, dbuf, pos = decode_binary(payload, 4, card)
+        idx, pos = IC.decode_ints(payload, pos, count)
         if pos != plen:
             raise ValueError("bin_dict: trailing payload bytes")
-        if idx.size != count:
-            raise ValueError("bin_dict: index count mismatch")
         if idx.size and (idx.min() < 0 or idx.max() >= dlens.size):
             raise ValueError("bin_dict: index out of range")
         doffs = _offsets(dlens)

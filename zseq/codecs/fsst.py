@@ -340,9 +340,7 @@ def decompress(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
     from . import intcodecs as IC
 
     table, pos = SymbolTable.deserialize(buf, 0)
-    enc_lengths, pos = IC.decode_ints(buf, pos)
-    if enc_lengths.size != n:
-        raise ValueError("fsst: length-array count mismatch")
+    enc_lengths, pos = IC.decode_ints(buf, pos, n)
     (enc_size,) = struct.unpack_from("<Q", buf, pos)
     pos += 8
     enc = np.frombuffer(buf[pos : pos + enc_size], dtype=np.uint8)

@@ -2,10 +2,15 @@
 
 Every encoded integer array is a *segment*:
 
-    tag: u8 | count: u32 LE | payload_len: u32 LE | payload
+    tag: u8 | payload_len: u32 LE | payload
 
-Segments nest (DICT's dictionary and indices are themselves segments), which
-lets codecs compose — this is the per-column-codec design zbra documents as
+The element count is NOT stored in the segment — it is always known from
+context (the column chunk header, or a parent codec's own fields), which
+keeps per-column framing smaller than the reference format's even though
+zseq stores strictly more metadata elsewhere (type widths, crc, schema).
+
+Segments nest (DICT's dictionary and indices are themselves segments),
+which lets codecs compose — the per-column-codec design zbra documents as
 FUTURE work (/root/reference/docs/design.md:222-302) built for real.
 
 Codec family (all int64-domain, like zbra's pipeline; narrower physical
@@ -13,16 +18,26 @@ types are handled at the column layer):
 
   CONST   one value repeated                        (RLE degenerate case)
   RAW     8-byte LE each                            (incompressible fallback)
-  ZBRA    the reference's exact FOR->ZZ->BP64 pipeline
+  ZBRA    the reference's exact FOR->ZZ->BP64 pipeline, byte-for-byte
           (/root/reference/zbra-core/src/compression.rs:271-292)
-  FORBP   mini-block frame-of-reference + bit-pack: per-1024-value blocks,
-          per-block min and bit width — fixes the reference's known sharp
-          edge where one outlier poisons a whole column's bit width
+  PACK    whole-array min-frame-of-reference + bit-pack — like ZBRA but
+          min-referenced (no zig-zag needed), no length duplication, and
+          no >=32-bit efficiency cliff
+  FORBP   mini-block min-FOR + bit-pack: per-1024-value blocks, per-block
+          min and bit width — fixes the reference's known sharp edge where
+          one outlier poisons a whole column's bit width
           (compression.rs:130-131; SURVEY.md §4.3)
-  DELTA   first value + zig-zag'd successive deltas, sub-encoded with FORBP
+  DELTA   first value + zig-zag'd successive deltas, sub-encoded
           (wins on sorted/monotonic data)
-  DICT    sorted unique values + FORBP-packed indices (low cardinality)
+  DICT    sorted unique values + packed indices (low cardinality)
   RLE     run values + run lengths, each sub-encoded (repetitive data)
+  WRAP    zstd over a finished segment (cascade; catches periodic
+          structure no single codec models); carries the inner segment's
+          derived zone map so pruning survives the wrap
+
+Zone maps are *derived*, not stored: CONST/PACK/FORBP/ZBRA/DICT headers
+already bound their values, so block pruning costs zero extra bytes
+(``segment_zone``).
 
 Decode is strict: truncated or trailing payload bytes raise, per the
 rebuild contract (reference silently zero-fills, compression.rs:198-205).
@@ -36,7 +51,7 @@ import numpy as np
 
 from . import primitives as P
 
-HEADER = struct.Struct("<BII")  # tag, count, payload_len
+HEADER = struct.Struct("<BI")  # tag, payload_len
 
 T_CONST = 0x01
 T_RAW = 0x02
@@ -45,7 +60,8 @@ T_FORBP = 0x04
 T_DELTA = 0x05
 T_DICT = 0x06
 T_RLE = 0x07
-T_WRAP = 0x08   # zstd-wrapped nested segment (cascade compression)
+T_WRAP = 0x08
+T_PACK = 0x09
 
 MINI = 1024  # FORBP mini-block size
 
@@ -58,14 +74,15 @@ INT_CODEC_NAMES = {
     T_DICT: "dict",
     T_RLE: "rle",
     T_WRAP: "zstd_wrap",
+    T_PACK: "pack",
 }
 INT_CODEC_TAGS = {v: k for k, v in INT_CODEC_NAMES.items()}
 
 _wrap = np.errstate(over="ignore")
 
 
-def _seg(tag: int, count: int, payload: bytes) -> bytes:
-    return HEADER.pack(tag, count, len(payload)) + payload
+def _seg(tag: int, payload: bytes) -> bytes:
+    return HEADER.pack(tag, len(payload)) + payload
 
 
 def _as_i64(values) -> np.ndarray:
@@ -91,12 +108,46 @@ def _enc_zbra(arr: np.ndarray) -> bytes:
     return P.zbra_compress_int_array(arr)
 
 
+def _enc_pack(arr: np.ndarray) -> bytes:
+    """min i64 LE | width u8 | packed deltas (byte-aligned).
+    width==0: all equal min. width==64: raw 8-byte deltas."""
+    lo = int(arr.min())
+    with _wrap:
+        deltas = (arr - np.int64(lo)).view(np.uint64)
+    hi = int(deltas.max())
+    width = 0 if hi == 0 else hi.bit_length()
+    head = int(lo).to_bytes(8, "little", signed=True) + bytes([width])
+    if width == 0:
+        return head
+    if width == 64:
+        return head + deltas.astype("<u8").tobytes()
+    return head + P.pack_width(deltas, width)
+
+
+def _dec_pack(payload: memoryview, count: int) -> np.ndarray:
+    lo = int.from_bytes(payload[0:8], "little", signed=True)
+    width = payload[8]
+    if width == 0:
+        if len(payload) != 9:
+            raise ValueError("pack: trailing payload bytes")
+        return np.full(count, lo, dtype=np.int64)
+    if width == 64:
+        deltas = np.frombuffer(payload[9:], dtype="<u8")
+        if deltas.size != count:
+            raise ValueError("pack: raw delta count mismatch")
+    else:
+        nb = (count * width + 7) // 8
+        if len(payload) != 9 + nb:
+            raise ValueError("pack: payload size mismatch")
+        deltas = P.unpack_width(payload[9:], count, width)
+    with _wrap:
+        return (deltas + np.int64(lo).view(np.uint64)).view(np.int64)
+
+
 def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
-    """Mini-block FOR+bitpack. Layout:
-    mini u16 | nminis u32 | nminis x (min i64 LE, width u8) | packed minis
-    (byte-aligned). width==0 means all values in the block equal its min.
-    width==64 stores raw 8-byte deltas (total for any int64 via wrapping
-    subtraction)."""
+    """mini u16 | nminis x (min i64 LE, width u8) | packed minis
+    (byte-aligned; nminis = ceil(count / mini), derived on decode).
+    width==0: all equal min. width==64: raw 8-byte deltas."""
     n = arr.size
     nminis = (n + mini - 1) // mini
     heads = bytearray()
@@ -116,14 +167,15 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
             bodies.append(deltas.astype("<u8").tobytes())
         else:
             bodies.append(P.pack_width(deltas, width))
-    return struct.pack("<HI", mini, nminis) + bytes(heads) + b"".join(bodies)
+    return struct.pack("<H", mini) + bytes(heads) + b"".join(bodies)
 
 
 def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
-    mini, nminis = struct.unpack_from("<HI", payload, 0)
-    pos = 6
+    (mini,) = struct.unpack_from("<H", payload, 0)
     if mini == 0:
         raise ValueError("forbp: zero mini-block size")
+    nminis = (count + mini - 1) // mini
+    pos = 2
     mins = np.empty(nminis, dtype=np.int64)
     widths = np.empty(nminis, dtype=np.uint8)
     for m in range(nminis):
@@ -134,8 +186,6 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
     for m in range(nminis):
         lo_idx = m * mini
         blk_n = min(mini, count - lo_idx)
-        if blk_n <= 0:
-            raise ValueError("forbp: mini-block count exceeds element count")
         w = int(widths[m])
         if w == 0:
             deltas = np.zeros(blk_n, dtype=np.uint64)
@@ -161,16 +211,23 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
 
 
 def _enc_delta(arr: np.ndarray) -> bytes:
+    """first i64 | min i64 | max i64 | zig-zag'd diffs sub-segment.
+    min/max exist solely for the derived zone map (DELTA is the codec of
+    sorted key columns — exactly where block pruning pays)."""
     with _wrap:
         diffs = np.diff(arr)
     zz = P.zigzag_encode(diffs).view(np.int64)
     sub = encode_ints(zz, exclude=frozenset({T_DELTA}))
-    return int(arr[0]).to_bytes(8, "little", signed=True) + sub
+    head = b"".join(
+        int(v).to_bytes(8, "little", signed=True)
+        for v in (arr[0], arr.min(), arr.max())
+    )
+    return head + sub
 
 
 def _dec_delta(payload: memoryview, count: int) -> np.ndarray:
     first = int.from_bytes(payload[0:8], "little", signed=True)
-    zz, pos = decode_ints(payload, 8)
+    zz, pos = decode_ints(payload, 24, count - 1)
     if pos != len(payload):
         raise ValueError("delta: trailing payload bytes")
     diffs = P.zigzag_decode(zz.view(np.uint64))
@@ -187,16 +244,15 @@ def _enc_dict(arr: np.ndarray) -> bytes:
     uniq, idx = np.unique(arr, return_inverse=True)
     d = encode_ints(uniq, codec=_pick_simple(uniq))
     i = encode_ints(idx.astype(np.int64), exclude=frozenset({T_DICT}))
-    return d + i
+    return struct.pack("<I", uniq.size) + d + i
 
 
 def _dec_dict(payload: memoryview, count: int) -> np.ndarray:
-    uniq, pos = decode_ints(payload, 0)
-    idx, pos = decode_ints(payload, pos)
+    (card,) = struct.unpack_from("<I", payload, 0)
+    uniq, pos = decode_ints(payload, 4, card)
+    idx, pos = decode_ints(payload, pos, count)
     if pos != len(payload):
         raise ValueError("dict: trailing payload bytes")
-    if idx.size != count:
-        raise ValueError("dict: index count mismatch")
     if idx.size and (idx.min() < 0 or idx.max() >= uniq.size):
         raise ValueError("dict: index out of range")
     return uniq[idx]
@@ -220,12 +276,13 @@ def _enc_rle(arr: np.ndarray) -> bytes:
     vals, lens = run_lengths(arr)
     v = encode_ints(vals, codec=_pick_simple(vals))
     l = encode_ints(lens, exclude=frozenset({T_RLE, T_DICT}))
-    return v + l
+    return struct.pack("<I", vals.size) + v + l
 
 
 def _dec_rle(payload: memoryview, count: int) -> np.ndarray:
-    vals, pos = decode_ints(payload, 0)
-    lens, pos = decode_ints(payload, pos)
+    (nruns,) = struct.unpack_from("<I", payload, 0)
+    vals, pos = decode_ints(payload, 4, nruns)
+    lens, pos = decode_ints(payload, pos, nruns)
     if pos != len(payload):
         raise ValueError("rle: trailing payload bytes")
     if int(lens.sum()) != count:
@@ -249,6 +306,7 @@ _ENCODERS = {
     T_CONST: _enc_const,
     T_RAW: _enc_raw,
     T_ZBRA: _enc_zbra,
+    T_PACK: _enc_pack,
     T_FORBP: _enc_forbp,
     T_DELTA: _enc_delta,
     T_DICT: _enc_dict,
@@ -264,7 +322,7 @@ def encode_ints(values, codec: int | None = None,
     arr = _as_i64(values)
     n = arr.size
     if n == 0:
-        return _seg(T_RAW, 0, b"")
+        return _seg(T_RAW, b"")
     auto = codec is None
     if auto:
         from .. import select
@@ -274,7 +332,7 @@ def encode_ints(values, codec: int | None = None,
         raise ValueError("const codec requires a constant array")
     if codec in (T_DELTA,) and n < 2:
         codec = T_RAW
-    seg = _seg(codec, n, _ENCODERS[codec](arr))
+    seg = _seg(codec, _ENCODERS[codec](arr))
     if auto and T_WRAP not in exclude:
         seg = _maybe_wrap(seg, n)
     return seg
@@ -283,7 +341,9 @@ def encode_ints(values, codec: int | None = None,
 def _maybe_wrap(seg: bytes, count: int) -> bytes:
     """Cascade compression: zstd the finished segment when it still has
     exploitable structure (e.g. periodic patterns no single codec models).
-    A ~64 KiB trial bounds cost; kept only on a clear (>=10%) win."""
+    A ~64 KiB trial bounds cost; kept only on a clear (>=10%) win. The
+    inner segment's derived zone map rides in the wrap header so block
+    pruning still works on wrapped chunks."""
     if len(seg) < 128:
         return seg
     from .bytescodecs import zstd_compress
@@ -295,24 +355,29 @@ def _maybe_wrap(seg: bytes, count: int) -> bytes:
     comp = comp_trial if trial is seg else zstd_compress(
         np.frombuffer(seg, np.uint8)
     )
-    wrapped = _seg(
-        T_WRAP, count, struct.pack("<I", len(seg)) + comp
+    zone = segment_zone(seg, 0, count)
+    zhead = (
+        struct.pack("<Bqq", 1, zone[0], zone[1]) if zone
+        else struct.pack("<B", 0)
     )
+    wrapped = _seg(T_WRAP, struct.pack("<I", len(seg)) + zhead + comp)
     return wrapped if len(wrapped) < 0.9 * len(seg) else seg
 
 
-def decode_ints(buf, offset: int = 0) -> tuple[np.ndarray, int]:
-    """Decode one segment from ``buf`` at ``offset``.
+def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
+    """Decode one segment of ``count`` elements from ``buf`` at ``offset``.
 
     Returns (int64 array, offset just past the segment)."""
     mv = memoryview(buf)
-    tag, count, plen = HEADER.unpack_from(mv, offset)
+    tag, plen = HEADER.unpack_from(mv, offset)
     start = offset + HEADER.size
     end = start + plen
     if end > len(mv):
         raise ValueError("segment: truncated payload")
     payload = mv[start:end]
     if count == 0:
+        if plen:
+            raise ValueError("segment: payload for zero elements")
         return np.zeros(0, dtype=np.int64), end
     if tag == T_CONST:
         v = int.from_bytes(payload[0:8], "little", signed=True)
@@ -324,6 +389,8 @@ def decode_ints(buf, offset: int = 0) -> tuple[np.ndarray, int]:
         return arr.astype(np.int64, copy=True), end
     if tag == T_ZBRA:
         return P.zbra_decompress_int_array(payload, count), end
+    if tag == T_PACK:
+        return _dec_pack(payload, count), end
     if tag == T_FORBP:
         return _dec_forbp(payload, count), end
     if tag == T_DELTA:
@@ -336,11 +403,77 @@ def decode_ints(buf, offset: int = 0) -> tuple[np.ndarray, int]:
         from .bytescodecs import zstd_decompress
 
         (raw_len,) = struct.unpack_from("<I", payload, 0)
-        inner = zstd_decompress(payload[4:], raw_len)
-        vals, pos = decode_ints(inner, 0)
+        has_zone = payload[4]
+        skip = 5 + (16 if has_zone else 0)
+        inner = zstd_decompress(payload[skip:], raw_len)
+        vals, pos = decode_ints(inner, 0, count)
         if pos != len(inner):
             raise ValueError("zstd_wrap: trailing inner bytes")
-        if vals.size != count:
-            raise ValueError("zstd_wrap: count mismatch")
         return vals, end
     raise ValueError(f"unknown int codec tag 0x{tag:02x}")
+
+
+# ---------------------------------------------------------------------------
+# Derived zone maps — no stored stats, bounds read off codec headers.
+# ---------------------------------------------------------------------------
+
+def segment_zone(buf, offset: int, count: int) -> tuple[int, int] | None:
+    """Conservative (min, max) bound of the segment's values, or None when
+    the codec's header does not bound them. Never decodes payload data."""
+    mv = memoryview(buf)
+    tag, plen = HEADER.unpack_from(mv, offset)
+    payload = mv[offset + HEADER.size : offset + HEADER.size + plen]
+    if count == 0:
+        return None
+    if tag == T_CONST:
+        v = int.from_bytes(payload[0:8], "little", signed=True)
+        return (v, v)
+    I64_MAX = (1 << 63) - 1
+    if tag == T_PACK:
+        lo = int.from_bytes(payload[0:8], "little", signed=True)
+        w = payload[8]
+        if w >= 64:
+            return None
+        return (lo, min(lo + (1 << w) - 1, I64_MAX))
+    if tag == T_FORBP:
+        (mini,) = struct.unpack_from("<H", payload, 0)
+        if mini == 0:
+            return None
+        nminis = (count + mini - 1) // mini
+        lo_all, hi_all = None, None
+        pos = 2
+        for _ in range(nminis):
+            lo = int.from_bytes(payload[pos : pos + 8], "little", signed=True)
+            w = payload[pos + 8]
+            pos += 9
+            if w >= 64:
+                return None
+            hi = min(lo + (1 << w) - 1, I64_MAX) if w else lo
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        return (lo_all, hi_all)
+    if tag == T_ZBRA:
+        if plen < 13:
+            return None
+        mid = int.from_bytes(payload[0:8], "little", signed=True)
+        w = payload[12]  # first packed byte = bit width
+        if w >= 32:
+            return None
+        half = 1 << max(0, w - 1)
+        lo, hi = mid - half, mid + half
+        if lo < -(1 << 63) or hi > I64_MAX:
+            return None  # decode wraps near the i64 extremes — no bound
+        return (lo, hi)
+    if tag == T_DICT:
+        (card,) = struct.unpack_from("<I", payload, 0)
+        return segment_zone(payload, 4, card)
+    if tag == T_WRAP:
+        if payload[4]:
+            lo, hi = struct.unpack_from("<qq", payload, 5)
+            return (lo, hi)
+        return None
+    if tag == T_DELTA:
+        lo = int.from_bytes(payload[8:16], "little", signed=True)
+        hi = int.from_bytes(payload[16:24], "little", signed=True)
+        return (lo, hi)
+    return None

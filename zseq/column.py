@@ -12,13 +12,16 @@ integrity checks (:541-548, :573-580).
 
 Column chunk wire format:
 
-    kind: u8 | count: u32 LE | flags: u8 | [validity] | [stats] | body
+    kind: u8 | flags: u8 | [validity] | body
+
+    (the row count comes from the enclosing block — stored once per
+    block, not once per chunk)
 
     flags bit0: has validity bitmap
-    flags bit1: has zone-map stats
     validity:   nbytes u32 LE + LSB-first bitmap (np.packbits little)
-    stats:      min i64 LE + max i64 LE over non-null values (INT kinds,
-                incl. timestamps) — the block-skipping zone map
+
+    Zone maps are DERIVED from codec headers (intcodecs.segment_zone),
+    not stored — block pruning costs zero bytes.
 
     kind 1 INT     width u8, signed u8, int segment (values widened to i64)
     kind 2 DOUBLE  int segment of float64 bit patterns (the reference's
@@ -51,7 +54,7 @@ K_BINARY = 4
 K_LIST = 5
 K_BOOL = 6
 
-_HEAD = struct.Struct("<BIB")
+_HEAD = struct.Struct("<BB")
 
 _INT_TYPES = {
     pa.int8(): (1, 1), pa.int16(): (2, 1), pa.int32(): (4, 1),
@@ -96,16 +99,9 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         bits = np.packbits(valid, bitorder="little").tobytes()
         vseg = struct.pack("<I", len(bits)) + bits
 
-    def head(kind: int, stats: bytes = b"") -> bytes:
-        flags = (1 if valid is not None else 0) | (2 if stats else 0)
-        return _HEAD.pack(kind, n, flags) + vseg + stats
-
-    def int_stats(v64: np.ndarray) -> bytes:
-        """Zone map over int64 values (conservative: nulls already
-        normalized to 0, which can only widen the range)."""
-        if v64.size == 0:
-            return b""
-        return struct.pack("<qq", int(v64.min()), int(v64.max()))
+    def head(kind: int) -> bytes:
+        flags = 1 if valid is not None else 0
+        return _HEAD.pack(kind, flags) + vseg
 
     def note(codec_tag: int, names) -> None:
         if stats is not None:
@@ -118,14 +114,14 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             vals = np.where(valid, vals, 0)
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT, int_stats(vals)) + struct.pack("<BB", 8, 1) + seg
+        return head(K_INT) + struct.pack("<BB", 8, 1) + seg
     if pa.types.is_date32(t) or pa.types.is_time32(t):
         vals = _int_values(arr, np.int32).astype(np.int64)
         if valid is not None:
             vals = np.where(valid, vals, 0)
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT, int_stats(vals)) + struct.pack("<BB", 4, 1) + seg
+        return head(K_INT) + struct.pack("<BB", 4, 1) + seg
     if t in _INT_TYPES:
         width, signed = _INT_TYPES[t]
         vals = _int_values(arr, _np_int_dtype(width, signed))
@@ -135,8 +131,7 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             v64 = np.where(valid, v64, 0)
         seg = IC.encode_ints(v64)
         note(seg[0], IC.INT_CODEC_NAMES)
-        return head(K_INT, int_stats(v64)) + struct.pack(
-            "<BB", width, signed) + seg
+        return head(K_INT) + struct.pack("<BB", width, signed) + seg
     if pa.types.is_float64(t):
         vals = _int_values(arr, np.float64).view(np.int64)
         if valid is not None:
@@ -193,32 +188,33 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
     raise NotImplementedError(f"zseq: unsupported Arrow type {t}")
 
 
-def chunk_stats(buf, offset: int) -> tuple[int, int, tuple[int, int] | None]:
-    """Read (kind, count, zone_map) from a chunk header WITHOUT decoding
-    the body. zone_map is (min, max) in int64 value domain for INT kinds
-    that carry stats, else None."""
+def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple[int, int] | None]:
+    """(kind, zone_map) from a chunk header WITHOUT decoding the body.
+    The zone map is derived from the int segment's codec parameters
+    (intcodecs.segment_zone) — nothing extra is stored."""
     mv = memoryview(buf)
-    kind, n, flags = _HEAD.unpack_from(mv, offset)
+    kind, flags = _HEAD.unpack_from(mv, offset)
     pos = offset + _HEAD.size
     if flags & 1:
         (nbytes,) = struct.unpack_from("<I", mv, pos)
         pos += 4 + nbytes
     zm = None
-    if flags & 2:
-        lo, hi = struct.unpack_from("<qq", mv, pos)
-        zm = (lo, hi)
-    return kind, n, zm
+    if kind == K_INT:
+        pos += 2  # width, signed
+        zm = IC.segment_zone(mv, pos, n)
+    return kind, zm
 
 
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
 
-def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
-    """Decode one column chunk at ``offset`` into an Arrow array of ``typ``.
-    Returns (array, next offset)."""
+def decode_column(buf, offset: int, typ: pa.DataType,
+                  n: int) -> tuple[pa.Array, int]:
+    """Decode one column chunk of ``n`` rows at ``offset`` into an Arrow
+    array of ``typ``. Returns (array, next offset)."""
     mv = memoryview(buf)
-    kind, n, flags = _HEAD.unpack_from(mv, offset)
+    kind, flags = _HEAD.unpack_from(mv, offset)
     pos = offset + _HEAD.size
     validity_buf = None
     valid = None
@@ -229,15 +225,11 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
         pos += nbytes
         valid = np.unpackbits(bits, count=n, bitorder="little").astype(bool)
         validity_buf = pa.py_buffer(bits.tobytes())
-    if flags & 2:
-        pos += 16  # zone-map stats (used by chunk_stats, not decode)
 
     if kind == K_INT:
         width, signed = struct.unpack_from("<BB", mv, pos)
         pos += 2
-        v64, pos = IC.decode_ints(mv, pos)
-        if v64.size != n:
-            raise ValueError("int column: count mismatch")
+        v64, pos = IC.decode_ints(mv, pos, n)
         if typ in _INT_TYPES:
             if width == 8 and not signed:  # uint64 rode as bit pattern
                 vals = v64.view(np.uint64)
@@ -250,9 +242,7 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
         body = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind in (K_DOUBLE, K_FLOAT):
-        v64, pos = IC.decode_ints(mv, pos)
-        if v64.size != n:
-            raise ValueError("float column: count mismatch")
+        v64, pos = IC.decode_ints(mv, pos, n)
         if kind == K_DOUBLE:
             vals = v64.view(np.float64)
         else:
@@ -260,9 +250,7 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
         body = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_BOOL:
-        v64, pos = IC.decode_ints(mv, pos)
-        if v64.size != n:
-            raise ValueError("bool column: count mismatch")
+        v64, pos = IC.decode_ints(mv, pos, n)
         bits = np.packbits(v64.astype(bool), bitorder="little")
         return pa.Array.from_buffers(
             typ, n, [validity_buf, pa.py_buffer(bits.tobytes())]
@@ -270,9 +258,7 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
     if kind == K_BINARY:
         (_utf8,) = struct.unpack_from("<B", mv, pos)
         pos += 1
-        lengths, data, pos = BC.decode_binary(mv, pos)
-        if lengths.size != n:
-            raise ValueError("binary column: count mismatch")
+        lengths, data, pos = BC.decode_binary(mv, pos, n)
         big = pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
         odt = "<i8" if big else "<i4"
         offs = np.zeros(n + 1, dtype=np.int64)
@@ -281,16 +267,9 @@ def decode_column(buf, offset: int, typ: pa.DataType) -> tuple[pa.Array, int]:
         dbuf = pa.py_buffer(np.ascontiguousarray(data).tobytes())
         return pa.Array.from_buffers(typ, n, [validity_buf, obuf, dbuf]), pos
     if kind == K_LIST:
-        lengths, pos = IC.decode_ints(mv, pos)
-        if lengths.size != n:
-            raise ValueError("list column: count mismatch")
+        lengths, pos = IC.decode_ints(mv, pos, n)
         child_type = typ.value_type
-        child, pos = decode_column(mv, pos, child_type)
-        if len(child) != int(lengths.sum()):
-            raise ValueError(
-                "list column: child element count does not equal the sum "
-                "of lengths (strict-consume check, cf. striped.rs:573-580)"
-            )
+        child, pos = decode_column(mv, pos, child_type, int(lengths.sum()))
         big = pa.types.is_large_list(typ)
         odt = "<i8" if big else "<i4"
         offs = np.zeros(n + 1, dtype=np.int64)

@@ -102,7 +102,7 @@ def _int_roundtrip(table: str, keys: list[str], col: str, codec: int | None,
                 vals = b.column(len(keys)).to_numpy(zero_copy_only=False)
                 vals = np.nan_to_num(vals).astype(np.int64)
                 enc = IC.encode_ints(vals, codec=codec)
-                dec, _ = IC.decode_ints(enc)
+                dec, _ = IC.decode_ints(enc, 0, vals.size)
                 cols = [b.column(i) for i in range(len(keys))]
                 cols.append(pa.array(dec, type=pa.int64()))
                 yield pa.RecordBatch.from_arrays(
@@ -135,7 +135,7 @@ def _str_roundtrip(table: str, keys: list[str], col: str, codec: int | None,
                                    dtype=np.int64)
                 enc = BC.encode_binary(
                     lengths, np.frombuffer(blob, np.uint8), codec=codec)
-                l2, d2, _ = BC.decode_binary(enc)
+                l2, d2, _ = BC.decode_binary(enc, 0, lengths.size)
                 offs = np.zeros(l2.size + 1, np.int64)
                 np.cumsum(l2, out=offs[1:])
                 dec = [
@@ -170,7 +170,7 @@ def _double_roundtrip(table: str, keys: list[str], col: str, out_name: str):
                 vals = b.column(len(keys)).to_numpy(zero_copy_only=False)
                 bits = np.ascontiguousarray(vals, np.float64).view(np.int64)
                 enc = IC.encode_ints(bits, codec=IC.T_ZBRA)
-                dec, _ = IC.decode_ints(enc)
+                dec, _ = IC.decode_ints(enc, 0, bits.size)
                 cols = [b.column(i) for i in range(len(keys))]
                 cols.append(pa.array(dec.view(np.float64)))
                 yield pa.RecordBatch.from_arrays(

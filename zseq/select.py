@@ -77,13 +77,15 @@ def predict_int_sizes(st: IntStats) -> dict[int, float]:
     sizes[IC.T_RAW] = 8.0 * n
     if st.vmin == st.vmax:
         sizes[IC.T_CONST] = 8.0
+    # PACK: whole-array min-FOR at range_bits width, 9B header, no cliff.
+    sizes[IC.T_PACK] = 9 + n * st.range_bits / 8.0
     # FORBP: per-mini 9B header + range-bits payload. Use range_bits as the
     # (pessimistic) per-mini width; clustered data does better in practice.
     nminis = (n + IC.MINI - 1) // IC.MINI
-    sizes[IC.T_FORBP] = 4 + 9.0 * nminis + n * st.range_bits / 8.0
+    sizes[IC.T_FORBP] = 2 + 9.0 * nminis + n * st.range_bits / 8.0
     # DELTA: 8B first + FORBP over zig-zag deltas at delta_bits width. Only
     # trustworthy when the sample looked (near-)monotonic or smooth.
-    sizes[IC.T_DELTA] = 8 + 4 + 9.0 * nminis + n * st.delta_bits / 8.0
+    sizes[IC.T_DELTA] = 8 + 2 + 9.0 * nminis + n * st.delta_bits / 8.0
     # DICT: dictionary (card * ~8B, FORBP-packed so usually less) + indices
     # at log2(card) bits. Estimate card on full chunk from sample ratio,
     # capped: a sample with all-unique values predicts card == n.
@@ -96,15 +98,10 @@ def predict_int_sizes(st: IntStats) -> dict[int, float]:
     # RLE: runs * (value bytes + length bytes). Length typically tiny.
     est_runs = max(1.0, n / st.mean_run)
     sizes[IC.T_RLE] = est_runs * (max(1, st.range_bits) / 8.0 + 1.0) + 52
-    # ZBRA reference pipeline: whole-array width = bits of the max zig-zag'd
-    # FOR-median delta — computable exactly from (vmin, vmax, median):
-    # zigzag(x) = 2x for x>=0, 2|x|-1 for x<0. >=32-bit width falls off the
-    # cliff to 8B/value (compression.rs:143-149).
-    maxpos = max(0, st.vmax - st.med_est)
-    maxneg = max(0, st.med_est - st.vmin)
-    zzmax = max(2 * maxpos, 2 * maxneg - 1 if maxneg else 0)
-    zw = min(64, max(1, int(zzmax).bit_length()))
-    sizes[IC.T_ZBRA] = 13.0 + (n * 8.0 if zw >= 32 else n * zw / 8.0)
+    # The reference pipeline (T_ZBRA) is never auto-selected: PACK's
+    # min-FOR dominates it (narrower-or-equal width, no zig-zag, smaller
+    # header, no >=32-bit cliff). It remains available as a forced codec
+    # for parity checks.
     return sizes
 
 

@@ -171,7 +171,7 @@ class ZseqReader:
                 pos += 4
                 offsets[name] = pos
                 if predicate:
-                    _kind, _cnt, zm = COL.chunk_stats(mv, pos)
+                    _kind, zm = COL.chunk_stats(mv, pos, nrows)
                     zonemaps[name] = zm
                 pos += clen
             if predicate and _block_provably_empty(predicate, zonemaps):
@@ -183,12 +183,7 @@ class ZseqReader:
                 if name not in sel:
                     continue
                 arr, _end = COL.decode_column(
-                    mv, offsets[name], self.schema.field(name).type)
-                if len(arr) != nrows:
-                    raise ValueError(
-                        f"zseq: column {name} row count {len(arr)} "
-                        f"!= block row count {nrows}"
-                    )
+                    mv, offsets[name], self.schema.field(name).type, nrows)
                 cols.append(arr)
             yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
