@@ -1,0 +1,55 @@
+"""Salted-repartition skew handling: token mass balances across parts
+even with a heavy-tailed n_tok distribution, and the roundtrip holds."""
+
+import numpy as np
+import pytest
+
+from zseq import decode as zdec
+from zseq import encode as zenc
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    """2000 light docs (~100 tokens) + 8 monsters (~100k tokens each):
+    the monsters hold ~80% of all token mass."""
+    rows = []
+    for i in range(2000):
+        n = 50 + i % 100
+        rows.append((f"doc_{i:06d}", list(range(n)), n, "light"))
+    for i in range(8):
+        n = 100_000
+        rows.append((f"mon_{i:06d}", list(range(n)), n, "heavy"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).cache()
+
+
+def test_salted_mode_balances_token_mass(spark, skewed_df, tmp_path):
+    out = str(tmp_path / "salted")
+    res = zenc.encode(skewed_df, out, mode="salted", partitions=8)
+    masses = [p["list_elems"] for p in res.parts]
+    total = sum(masses)
+    target = total / 8
+    # every monster row is ~100k ~= 0.8 target; greedy packing bounds any
+    # partition at < 2x target
+    assert max(masses) < 2 * target, masses
+    back = zdec.decode(spark, out)
+    assert back.count() == 2008
+    a = sorted((r.doc_id, r.n_tok) for r in skewed_df.collect())
+    b = sorted((r.doc_id, r.n_tok) for r in back.collect())
+    assert a == b
+
+
+def test_hash_mode_can_collide_monsters(spark, skewed_df, tmp_path):
+    """Motivation check: plain hash partitioning has no mass guarantee —
+    record both layouts' imbalance for the manifest-observability story."""
+    out = str(tmp_path / "hashed")
+    res = zenc.encode(skewed_df, out, mode="hash", partitions=8)
+    masses = sorted(p["list_elems"] for p in res.parts)
+    # no assertion on imbalance (hashing may or may not collide monsters);
+    # the salted test above is the guarantee. Roundtrip must still hold.
+    assert sum(masses) == sum(
+        p["list_elems"]
+        for p in zenc.read_manifest(out)["parts"]
+    )
+    assert zdec.decode(spark, out).count() == 2008

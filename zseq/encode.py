@@ -246,6 +246,15 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     needed — it is the mode that supports ``resume`` (bucket assignment
     is a pure function of (key, P), so surviving part files are reused).
 
+    ``mode='salted'``: skew-aware salted repartition by the n_tok
+    histogram — rows are bucketed so every partition carries roughly
+    equal *token mass*, and heavy-tail rows (above the sampled p99.9 of
+    the list-length column) are spread across dedicated buckets instead
+    of landing wherever their key hashes. Use when row sizes are wildly
+    skewed AND the input layout is row-based rather than byte-based
+    (byte-uniform splits — preserve/files modes — are already mass-
+    balanced, which is why this is not the default).
+
     ``resume``: skip partitions already committed in an existing manifest
     (hash mode only).
     """
@@ -253,7 +262,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     from .session import ship_package
 
     ship_package(spark)  # executors must import zseq (--py-files pattern)
-    if mode not in ("preserve", "hash"):
+    if mode not in ("preserve", "hash", "salted"):
         raise ValueError(f"unknown encode mode {mode!r}")
     if resume and mode != "hash":
         raise ValueError(
@@ -280,7 +289,11 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
 
     arrow_schema = to_arrow_schema(df)
     parts: list[dict] = []
-    if mode == "hash":
+    if mode == "salted":
+        work = _salted_repartition(df, P, key)
+        run = True
+        todo = list(range(P))
+    elif mode == "hash":
         work = df.repartition(P, F.col(key))
         todo = sorted(set(range(P)) - set(done_parts))
         if done_parts and todo:
@@ -316,6 +329,87 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     }
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     return EncodeResult(out_dir, manifest, parts)
+
+
+def _salted_repartition(df: DataFrame, P: int, key: str) -> DataFrame:
+    """Skew-aware bucketing by token mass (the north-rule salted
+    repartition): sample the n_tok histogram, put heavy-tail rows (above
+    the sampled p99.9) into buckets weighted by how many target-partition
+    masses each row is worth, and spread light rows uniformly. One extra
+    cheap aggregation job + one shuffle.
+
+    A single row cannot be split, so a row heavier than the target mass
+    still bounds its partition — the histogram makes that bound explicit
+    and observable (per-part list_elems in the manifest)."""
+    weight_col = None
+    for f in df.schema.fields:
+        if f.dataType.simpleString().startswith("array"):
+            weight_col = f"size({f.name})"
+            break
+        if f.name == "n_tok":
+            weight_col = "n_tok"
+    if weight_col is None:
+        weight_col = "1"
+    stats = df.selectExpr(
+        f"cast({weight_col} as double) as w"
+    ).selectExpr(
+        "sum(w) as total",
+        "approx_percentile(w, 0.999) as p999",
+    ).collect()[0]
+    total = float(stats["total"] or 0.0)
+    p999 = float(stats["p999"] or 1.0)
+    target = max(1.0, total / P)
+    # Heavy = rows whose mass is a material fraction of a partition's
+    # target. There are at most ~4P such rows (mass bound), so they are
+    # collectable at any corpus scale; everything lighter balances itself
+    # by the law of large numbers under uniform hashing.
+    heavy_cut = max(p999, target / 4.0)
+    heavy = (
+        df.selectExpr(f"{key} as k",
+                      f"cast({weight_col} as double) as w")
+        .filter(F.col("w") >= heavy_cut)
+        .collect()
+    )
+    # repartition(P, col) applies Spark's own hash to the column value, so
+    # bucket ids 0..P-1 would collide into partitions. Instead, find one
+    # *label* per target partition by probing Spark's hash (F.hash is the
+    # same Murmur3 the shuffle uses), then route rows via labels.
+    spark = df.sparkSession
+    probe = spark.range(0, 32 * P).selectExpr(
+        "cast(id as int) as b", f"pmod(hash(cast(id as int)), {P}) as p")
+    label_for: dict[int, int] = {}
+    for r in probe.collect():
+        label_for.setdefault(r["p"], r["b"])
+    if len(label_for) < P:  # astronomically unlikely with 32P probes
+        raise RuntimeError("salted: could not cover all partitions")
+    labels = [label_for[p] for p in range(P)]
+
+    # Greedy bin packing of heavy rows, heaviest first, lightest bucket.
+    import heapq
+
+    load = [(0.0, p) for p in range(P)]
+    heapq.heapify(load)
+    assign: dict = {}
+    for row in sorted(heavy, key=lambda r: -r["w"]):
+        mass, p = heapq.heappop(load)
+        assign[row["k"]] = labels[p]
+        heapq.heappush(load, (mass + float(row["w"]), p))
+    light_label = F.element_at(
+        F.array(*[F.lit(l) for l in labels]),
+        (F.pmod(F.xxhash64(F.col(key)), F.lit(P)) + 1).cast("int"),
+    )
+    if assign:
+        mapping = F.create_map(*[
+            F.lit(x) for kv in assign.items() for x in kv
+        ])
+        bucket = F.coalesce(mapping[F.col(key)], light_label)
+    else:
+        bucket = light_label
+    return (
+        df.withColumn("__bucket", bucket.cast("int"))
+        .repartition(P, F.col("__bucket"))
+        .drop("__bucket")
+    )
 
 
 def encode_parquet(spark, input_dir: str, out_dir: str, *,
