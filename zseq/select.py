@@ -38,6 +38,7 @@ class IntStats:
     vmin: int
     vmax: int
     med_est: int             # sample median (zbra's FOR reference)
+    mini_bits: float         # mean per-mini-block width (contiguous windows)
 
 
 def int_stats(arr: np.ndarray) -> IntStats:
@@ -65,8 +66,20 @@ def int_stats(arr: np.ndarray) -> IntStats:
     else:
         mean_run, sorted_frac, delta_bits = 1.0, 1.0, 0
     med_est = int(np.partition(s, m // 2)[m // 2]) if m else 0
+    # FORBP's advantage over whole-array PACK is per-mini width adaptivity;
+    # estimate it from CONTIGUOUS windows (the strided sample destroys the
+    # locality that makes mini-blocks narrow).
+    win = min(IC.MINI, n)
+    nwin = min(8, max(1, n // win))
+    bits = []
+    for i in range(nwin):
+        start = (n - win) * i // max(1, nwin - 1) if nwin > 1 else 0
+        w = arr[start : start + win]
+        r = (int(w.max()) - int(w.min())) & ((1 << 64) - 1)
+        bits.append(r.bit_length())
+    mini_bits = float(np.mean(bits)) if bits else 0.0
     return IntStats(n, m, card_ratio, mean_run, sorted_frac,
-                    range_bits, delta_bits, vmin, vmax, med_est)
+                    range_bits, delta_bits, vmin, vmax, med_est, mini_bits)
 
 
 def predict_int_sizes(st: IntStats) -> dict[int, float]:
@@ -79,10 +92,9 @@ def predict_int_sizes(st: IntStats) -> dict[int, float]:
         sizes[IC.T_CONST] = 8.0
     # PACK: whole-array min-FOR at range_bits width, 9B header, no cliff.
     sizes[IC.T_PACK] = 9 + n * st.range_bits / 8.0
-    # FORBP: per-mini 9B header + range-bits payload. Use range_bits as the
-    # (pessimistic) per-mini width; clustered data does better in practice.
+    # FORBP: per-mini 9B header + sampled per-window width payload.
     nminis = (n + IC.MINI - 1) // IC.MINI
-    sizes[IC.T_FORBP] = 2 + 9.0 * nminis + n * st.range_bits / 8.0
+    sizes[IC.T_FORBP] = 2 + 9.0 * nminis + n * st.mini_bits / 8.0
     # DELTA: 8B first + FORBP over zig-zag deltas at delta_bits width. Only
     # trustworthy when the sample looked (near-)monotonic or smooth.
     sizes[IC.T_DELTA] = 8 + 2 + 9.0 * nminis + n * st.delta_bits / 8.0
