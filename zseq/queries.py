@@ -299,6 +299,20 @@ FROM ({synth.tokens_duckdb_sql('documents')}) GROUP BY source
 """
 
 
+def q_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bit-identical gate through the skew-aware salted-repartition
+    path (mode='salted': n_tok-histogram bucketing + greedy heavy-row
+    packing)."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_salt_")
+    zenc.encode(df, out, mode="salted", partitions=4)
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
 def q_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection pushdown: decode only 3 of 4 columns from the blobs
     (tokens, the heavy column, is seeked past — never decompressed)."""
@@ -428,6 +442,7 @@ def queries() -> dict:
     return {
         "tokens_synth": q_tokens_synth,
         "roundtrip_tokens": q_roundtrip_tokens,
+        "roundtrip_salted": q_roundtrip_salted,
         "codec_zbra_pipeline": _int_roundtrip(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
             IC.T_ZBRA, "pk_rt"),
@@ -478,6 +493,7 @@ def oracle_sql() -> dict:
     return {
         "tokens_synth": _duck_tokens_checksums(),
         "roundtrip_tokens": _duck_tokens_checksums(),
+        "roundtrip_salted": _duck_tokens_checksums(),
         "codec_zbra_pipeline": _identity_oracle(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey", "pk_rt"),
         "codec_forbp": _identity_oracle(
