@@ -111,3 +111,48 @@ def test_list_child_count_strictness():
 def test_timestamp_tz():
     arr = pa.array([1, 2, 3], type=pa.timestamp("us", tz="UTC"))
     assert rt(arr).equals(arr)
+
+
+NESTED = [
+    pa.array([{"a": 1, "b": "x"}, {"a": 2, "b": None}, None],
+             type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    pa.array([{"k1": 1.5}, {"k2": 2.5, "k3": 3.0}, None, {}],
+             type=pa.map_(pa.string(), pa.float64())),
+    pa.array([[{"x": 1}], [], [{"x": 2}, {"x": 3}]],
+             type=pa.list_(pa.struct([("x", pa.int32())]))),
+    pa.array([{"inner": [1, 2]}, {"inner": []}],
+             type=pa.struct([("inner", pa.list_(pa.int32()))])),
+]
+
+
+@pytest.mark.parametrize("i", range(len(NESTED)))
+def test_struct_map_roundtrip(i):
+    arr = NESTED[i]
+    assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+def test_decimal_roundtrip():
+    from decimal import Decimal
+
+    arr = pa.array([Decimal("123.45"), Decimal("-0.01"), None],
+                   type=pa.decimal128(12, 2))
+    assert rt(arr).to_pylist() == arr.to_pylist()
+    big = pa.array([Decimal("999999999999999999")], type=pa.decimal128(18, 0))
+    assert rt(big).to_pylist() == big.to_pylist()
+    with pytest.raises(NotImplementedError, match="precision"):
+        C.encode_column(pa.array([Decimal("1") * 10**20],
+                                 type=pa.decimal128(25, 0)))
+
+
+def test_spark_struct_map_decimal_roundtrip_via_file():
+    """Struct/map/decimal columns through the full .zseq file layer."""
+    from zseq import zseqfile
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "s": NESTED[0],
+        "m": pa.array([{"a": 1}, None, {}], type=pa.map_(pa.string(),
+                                                         pa.int64())),
+    })
+    out = zseqfile.decode_table(zseqfile.encode_table(tbl))
+    assert out.to_pylist() == tbl.to_pylist()

@@ -94,3 +94,23 @@ def test_real_testdata_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_nested_types_roundtrip(spark, tmp_path):
+    """struct / map / array columns through the full distributed path —
+    including the empty-map keys child that carries no offsets buffer."""
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": "x"}, {"k": 1.5}, [1, 2]),
+            (2, {"a": 2, "b": None}, {}, []),
+            (3, None, {"k": -1.0, "j": 0.0}, [7]),
+        ],
+        "id long, s struct<a:long,b:string>, m map<string,double>, "
+        "l array<int>",
+    )
+    out = str(tmp_path / "nested")
+    zenc.encode(df, out, partitions=2)
+    back = zdec.decode(spark, out)
+    a = sorted(str(r) for r in df.collect())
+    b = sorted(str(r) for r in back.collect())
+    assert a == b

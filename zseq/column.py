@@ -36,6 +36,11 @@ Column chunk wire format:
     kind 4 BINARY  utf8 u8, binary segment
     kind 5 LIST    lengths int segment, child column chunk
     kind 6 BOOL    int segment of 0/1
+    kind 7 STRUCT  nfields u16 + per field: name + sized child chunk
+                   (the striped SoA split, striped.rs:287-339)
+    kind 8 MAP     lengths int segment + sized key chunk + item chunk
+                   (the reference's Map key/value split, striped.rs:106-125)
+    kind 9 DECIMAL precision u8 + scale i8 + int segment (precision <= 18)
 
 Null slots are normalized before encoding (ints->0, strings->empty,
 lists->empty) so encoded bytes are deterministic; the validity bitmap
@@ -59,6 +64,9 @@ K_FLOAT = 3
 K_BINARY = 4
 K_LIST = 5
 K_BOOL = 6
+K_STRUCT = 7
+K_MAP = 8
+K_DECIMAL = 9
 
 _HEAD = struct.Struct("<BB")
 
@@ -168,7 +176,21 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             a = pc.fill_null(a, filler)
         big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
         odt = np.int64 if big else np.int32
-        obuf = a.buffers()[1]
+        obuf = a.buffers()[1] if len(a) else None
+        if obuf is None or len(obuf) < (a.offset + len(a) + 1) * odt().nbytes:
+            # Empty arrays (e.g. the keys child of an all-empty map) may
+            # carry no offsets buffer at all; short buffers can appear on
+            # exotic slices — compact via cast, which rebuilds dense
+            # offsets (data buffer stays zero-copy).
+            if len(a) == 0:
+                lengths = np.zeros(0, dtype=np.int64)
+                data = np.zeros(0, dtype=np.uint8)
+                seg = BC.encode_binary(lengths, data)
+                note(seg[0], BC.BIN_CODEC_NAMES)
+                return head(K_BINARY) + struct.pack("<B", utf8) + seg
+            a = a.cast(pa.large_binary())
+            odt = np.int64
+            obuf = a.buffers()[1]
         offs = np.frombuffer(obuf, dtype=odt, count=a.offset + len(a) + 1)
         offs = offs[a.offset :].astype(np.int64)
         dbuf = a.buffers()[2]
@@ -192,6 +214,59 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             stats[path + ".lengths"] = IC.INT_CODEC_NAMES[lseg[0]]
         cseg = encode_column(child, stats, path + ".element")
         return head(K_LIST) + lseg + cseg
+    if pa.types.is_struct(t):
+        body = bytearray(struct.pack("<H", t.num_fields))
+        for i in range(t.num_fields):
+            fld = t.field(i)
+            child = arr.field(i)
+            chunk = encode_column(child, stats, f"{path}.{fld.name}")
+            nb = fld.name.encode()
+            body += struct.pack("<H", len(nb)) + nb
+            body += struct.pack("<I", len(chunk)) + chunk
+        return head(K_STRUCT) + bytes(body)
+    if pa.types.is_map(t):
+        # Map == lengths + flattened key child + flattened item child
+        # (the reference's Map split into key/value columns,
+        # striped.rs:106-125).
+        if n == 0:
+            offs = np.zeros(1, dtype=np.int64)
+        else:
+            obuf = arr.buffers()[1]
+            offs = np.frombuffer(obuf, dtype=np.int32,
+                                 count=arr.offset + n + 1)[arr.offset:]
+            offs = offs.astype(np.int64)
+        lengths = np.diff(offs) if n else np.zeros(0, dtype=np.int64)
+        lo, hi = int(offs[0]), int(offs[-1])
+        keys = arr.keys.slice(lo, hi - lo)
+        items = arr.items.slice(lo, hi - lo)
+        lseg = IC.encode_ints(lengths)
+        kseg = encode_column(keys, stats, path + ".key")
+        iseg = encode_column(items, stats, path + ".value")
+        return (
+            head(K_MAP) + lseg
+            + struct.pack("<I", len(kseg)) + kseg + iseg
+        )
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise NotImplementedError(
+                f"zseq: decimal precision {t.precision} > 18 (values would "
+                "not fit the int64 codec domain)"
+            )
+        # decimal128 buffer: 16B LE per value; low word is the value for
+        # precision <= 18, high word its sign extension.
+        buf = arr.buffers()[1]
+        raw = np.frombuffer(buf, dtype=np.int64,
+                            count=2 * (arr.offset + n))
+        raw = raw.reshape(-1, 2)[arr.offset:]
+        lo64, hi64 = raw[:, 0].copy(), raw[:, 1]
+        if not np.array_equal(hi64, lo64 >> 63):
+            raise ValueError("decimal128: value exceeds 64-bit range")
+        if valid is not None:
+            lo64 = np.where(valid, lo64, 0)
+        seg = IC.encode_ints(lo64)
+        note(seg[0], IC.INT_CODEC_NAMES)
+        return head(K_DECIMAL) + struct.pack(
+            "<Bb", t.precision, t.scale) + seg
     raise NotImplementedError(f"zseq: unsupported Arrow type {t}")
 
 
@@ -321,4 +396,56 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         return pa.Array.from_buffers(
             typ, n, [validity_buf, obuf], children=[child]
         ), pos
+    if kind == K_STRUCT:
+        (nfields,) = struct.unpack_from("<H", mv, pos)
+        pos += 2
+        children = []
+        for _ in range(nfields):
+            (nlen,) = struct.unpack_from("<H", mv, pos)
+            pos += 2
+            name = bytes(mv[pos : pos + nlen]).decode()
+            pos += nlen
+            (clen,) = struct.unpack_from("<I", mv, pos)
+            pos += 4
+            fld = typ.field(name)
+            child, cend = decode_column(mv, pos, fld.type, n)
+            if cend != pos + clen:
+                raise ValueError(f"struct field {name}: chunk size mismatch")
+            pos = cend
+            children.append(child)
+        return pa.Array.from_buffers(
+            typ, n, [validity_buf], children=children
+        ), pos
+    if kind == K_MAP:
+        lengths, pos = IC.decode_ints(mv, pos, n)
+        total = int(lengths.sum())
+        (klen,) = struct.unpack_from("<I", mv, pos)
+        pos += 4
+        keys, kend = decode_column(mv, pos, typ.key_type, total)
+        if kend != pos + klen:
+            raise ValueError("map: key chunk size mismatch")
+        pos = kend
+        items, pos = decode_column(mv, pos, typ.item_type, total)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offs[1:])
+        # The map's entries struct carries exact field names/nullability
+        # (key is non-nullable); build it from the type itself.
+        entry_type = pa.struct([typ.key_field, typ.item_field])
+        entries = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[entry_type.field(0), entry_type.field(1)])
+        return pa.Array.from_buffers(
+            typ, n, [validity_buf, pa.py_buffer(offs.tobytes())],
+            children=[entries],
+        ), pos
+    if kind == K_DECIMAL:
+        precision, scale = struct.unpack_from("<Bb", mv, pos)
+        pos += 2
+        v64, pos = IC.decode_ints(mv, pos, n)
+        hi = v64 >> 63
+        raw = np.empty((n, 2), dtype=np.int64)
+        raw[:, 0] = v64
+        raw[:, 1] = hi
+        body = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+        return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     raise ValueError(f"unknown column kind {kind}")
