@@ -79,7 +79,10 @@ def stage_materialize(work: str) -> dict:
 
     spark = _session(CPUS)
     t0 = time.time()
-    df = synth.tokens_df_range(spark, BENCH_DOCS, partitions=CPUS * 2)
+    # 4 files per measured core: enough parallelism for the HIGH run,
+    # big enough files that per-task overhead (~50-90 ms) stays <5%.
+    df = synth.tokens_df_range(spark, BENCH_DOCS,
+                               partitions=max(HIGH * 4, 16))
     path = os.path.join(work, "tokens_input")
     df.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
