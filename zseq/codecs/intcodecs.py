@@ -147,27 +147,73 @@ def _dec_pack(payload: memoryview, count: int) -> np.ndarray:
 def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
     """mini u16 | nminis x (min i64 LE, width u8) | packed minis
     (byte-aligned; nminis = ceil(count / mini), derived on decode).
-    width==0: all equal min. width==64: raw 8-byte deltas."""
+    width==0: all equal min. width==64: raw 8-byte deltas.
+
+    Vectorized over *runs* of consecutive same-width minis: after row
+    clustering, chunks have long width runs, so packing happens in a few
+    large pack_width calls instead of one per mini (same bytes out)."""
     n = arr.size
     nminis = (n + mini - 1) // mini
-    heads = bytearray()
-    bodies = []
-    for m in range(nminis):
-        blk = arr[m * mini : (m + 1) * mini]
+    nfull = n // mini
+    # Per-mini min/width, vectorized for the full minis.
+    if nfull:
+        g = arr[: nfull * mini].reshape(nfull, mini)
+        mins_full = g.min(axis=1)
+        with _wrap:
+            deltas_full = (g - mins_full[:, None]).view(np.uint64)
+        maxd = deltas_full.max(axis=1)
+        bl = np.zeros(nfull, dtype=np.int64)
+        nz = maxd != 0
+        if nz.any():
+            bl[nz] = np.frexp(
+                np.clip(maxd[nz], 0, (1 << 53) - 1).astype(np.float64))[1]
+            big = maxd[nz] >= (1 << 53)
+            if big.any():  # exact bit_length for the huge tail
+                idx = np.flatnonzero(nz)[big]
+                bl[idx] = [int(maxd[i]).bit_length() for i in idx]
+    mins = np.empty(nminis, dtype=np.int64)
+    widths = np.empty(nminis, dtype=np.int64)
+    if nfull:
+        mins[:nfull] = mins_full
+        widths[:nfull] = bl
+    if nminis > nfull:  # trailing partial mini
+        blk = arr[nfull * mini:]
         lo = int(blk.min())
         with _wrap:
-            deltas = (blk - np.int64(lo)).view(np.uint64)
-        hi = int(deltas.max())
-        width = 0 if hi == 0 else hi.bit_length()
-        heads += int(lo).to_bytes(8, "little", signed=True)
-        heads.append(width)
-        if width == 0:
-            continue
-        if width == 64:
-            bodies.append(deltas.astype("<u8").tobytes())
-        else:
-            bodies.append(P.pack_width(deltas, width))
-    return struct.pack("<H", mini) + bytes(heads) + b"".join(bodies)
+            d = (blk - np.int64(lo)).view(np.uint64)
+        hi = int(d.max())
+        mins[-1] = lo
+        widths[-1] = 0 if hi == 0 else hi.bit_length()
+    heads = np.empty((nminis, 9), dtype=np.uint8)
+    heads[:, :8] = mins.astype("<i8").view(np.uint8).reshape(nminis, 8)
+    heads[:, 8] = widths
+    bodies = []
+    # Pack runs of equal width among the full minis in one call each.
+    m = 0
+    while m < nfull:
+        w = int(widths[m])
+        e = m + 1
+        while e < nfull and widths[e] == w:
+            e += 1
+        if w == 64:
+            bodies.append(deltas_full[m:e].reshape(-1).astype("<u8").tobytes())
+        elif w > 0:
+            if (mini * w) % 8 == 0:
+                bodies.append(P.pack_width(deltas_full[m:e].reshape(-1), w))
+            else:  # minis are individually byte-aligned; pack one by one
+                for i in range(m, e):
+                    bodies.append(P.pack_width(deltas_full[i], w))
+        m = e
+    if nminis > nfull:
+        w = int(widths[-1])
+        blk = arr[nfull * mini:]
+        with _wrap:
+            d = (blk - np.int64(int(mins[-1]))).view(np.uint64)
+        if w == 64:
+            bodies.append(d.astype("<u8").tobytes())
+        elif w > 0:
+            bodies.append(P.pack_width(d, w))
+    return struct.pack("<H", mini) + heads.tobytes() + b"".join(bodies)
 
 
 def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
@@ -175,18 +221,58 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
     if mini == 0:
         raise ValueError("forbp: zero mini-block size")
     nminis = (count + mini - 1) // mini
-    pos = 2
-    mins = np.empty(nminis, dtype=np.int64)
-    widths = np.empty(nminis, dtype=np.uint8)
-    for m in range(nminis):
-        mins[m] = int.from_bytes(payload[pos : pos + 8], "little", signed=True)
-        widths[m] = payload[pos + 8]
-        pos += 9
+    nfull = count // mini
+    heads = np.frombuffer(payload[2 : 2 + 9 * nminis],
+                          dtype=np.uint8).reshape(nminis, 9)
+    mins = np.ascontiguousarray(heads[:, :8]).view("<i8").reshape(nminis)
+    widths = heads[:, 8].astype(np.int64)
+    pos = 2 + 9 * nminis
     out = np.empty(count, dtype=np.int64)
-    for m in range(nminis):
-        lo_idx = m * mini
-        blk_n = min(mini, count - lo_idx)
+    # Decode runs of equal width among full minis in one unpack each.
+    m = 0
+    while m < nfull:
         w = int(widths[m])
+        e = m + 1
+        while e < nfull and widths[e] == w:
+            e += 1
+        nvals = (e - m) * mini
+        lo_idx = m * mini
+        if w == 0:
+            deltas = np.zeros(nvals, dtype=np.uint64)
+        elif w == 64:
+            nb = nvals * 8
+            deltas = np.frombuffer(payload[pos : pos + nb], dtype="<u8")
+            if deltas.size != nvals:
+                raise ValueError("forbp: truncated raw mini-block")
+            pos += nb
+        else:
+            # Minis are byte-aligned individually; for full minis each
+            # occupies exactly mini*w/8... only when mini*w % 8 == 0,
+            # which holds for the power-of-two MINI. Otherwise fall back
+            # to per-mini.
+            per = (mini * w + 7) // 8
+            if per * 8 != mini * w:
+                for i in range(m, e):
+                    d = P.unpack_width(
+                        payload[pos : pos + per], mini, w)
+                    with _wrap:
+                        out[i * mini : (i + 1) * mini] = (
+                            d + mins[i].view(np.uint64)).view(np.int64)
+                    pos += per
+                m = e
+                continue
+            nb = per * (e - m)
+            deltas = P.unpack_width(payload[pos : pos + nb], nvals, w)
+            pos += nb
+        with _wrap:
+            out[lo_idx : lo_idx + nvals] = (
+                deltas.reshape(e - m, mini)
+                + mins[m:e].view(np.uint64)[:, None]
+            ).reshape(-1).view(np.int64)
+        m = e
+    if nminis > nfull:
+        blk_n = count - nfull * mini
+        w = int(widths[-1])
         if w == 0:
             deltas = np.zeros(blk_n, dtype=np.uint64)
         elif w == 64:
@@ -200,9 +286,8 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
             deltas = P.unpack_width(payload[pos : pos + nb], blk_n, w)
             pos += nb
         with _wrap:
-            out[lo_idx : lo_idx + blk_n] = (
-                deltas + mins[m].view(np.uint64)
-            ).view(np.int64)
+            out[nfull * mini :] = (
+                deltas + mins[-1].view(np.uint64)).view(np.int64)
     if pos != len(payload):
         raise ValueError(
             f"forbp: trailing payload bytes ({len(payload) - pos})"
