@@ -156,3 +156,55 @@ def test_spark_struct_map_decimal_roundtrip_via_file():
     })
     out = zseqfile.decode_table(zseqfile.encode_table(tbl))
     assert out.to_pylist() == tbl.to_pylist()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(
+    hst.one_of(
+        hst.none(),
+        hst.fixed_dictionaries({
+            "a": hst.one_of(hst.none(),
+                            hst.integers(-(2**63), 2**63 - 1)),
+            "b": hst.one_of(hst.none(), hst.text(max_size=12)),
+        }),
+    ),
+    max_size=40,
+))
+def test_struct_roundtrip_property(rows):
+    arr = pa.array(rows, type=pa.struct([("a", pa.int64()),
+                                         ("b", pa.string())]))
+    assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(
+    hst.one_of(
+        hst.none(),
+        hst.dictionaries(hst.text(max_size=6),
+                         hst.integers(-(2**31), 2**31 - 1), max_size=5),
+    ),
+    max_size=30,
+))
+def test_map_roundtrip_property(rows):
+    arr = pa.array(
+        [None if r is None else list(r.items()) for r in rows],
+        type=pa.map_(pa.string(), pa.int64()))
+    assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(
+    hst.one_of(hst.none(),
+               hst.integers(-(10**17), 10**17)),
+    max_size=40,
+))
+def test_decimal_roundtrip_property(ints):
+    from decimal import Decimal
+
+    rows = [None if v is None else Decimal(v) / 100 for v in ints]
+    arr = pa.array(rows, type=pa.decimal128(18, 2))
+    assert rt(arr).to_pylist() == arr.to_pylist()
