@@ -208,3 +208,25 @@ def test_decimal_roundtrip_property(ints):
     rows = [None if v is None else Decimal(v) / 100 for v in ints]
     arr = pa.array(rows, type=pa.decimal128(18, 2))
     assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+def test_decimal_null_slots_with_garbage_bytes():
+    """Arrow permits arbitrary bytes under null slots (compute kernels /
+    IPC produce them); the 64-bit range check must not fire on them."""
+    import decimal
+    import numpy as np
+    import pyarrow as pa
+    from zseq import column as C
+
+    t = pa.decimal128(18, 2)
+    vals = np.zeros(6, dtype=np.int64)  # 3 values x (lo, hi)
+    vals[0], vals[1] = 12345, 0          # 123.45
+    vals[2], vals[3] = -77, 12345678     # null slot: garbage hi word
+    vals[4], vals[5] = -500, -1          # -5.00 (sign-extended)
+    validity = pa.array([True, False, True]).buffers()[1]
+    arr = pa.Array.from_buffers(
+        t, 3, [validity, pa.py_buffer(vals.tobytes())])
+    blob = C.encode_column(arr, {}, "d")
+    out, _ = C.decode_column(memoryview(blob), 0, t, 3)
+    assert out.to_pylist() == [
+        decimal.Decimal("123.45"), None, decimal.Decimal("-5.00")]

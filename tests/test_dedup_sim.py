@@ -122,3 +122,77 @@ def test_lsh_topk_finds_planted(spark, vecs):
     out = sim.lsh_topk(vecs, dim=16, n_queries=1, topk=3)
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows and rows[0].neighbor_id == 500
+
+
+def test_simhash_blocks_guarantee_radius(spark):
+    """Pigeonhole honesty: default banding (blocks = max_hamming + 1)
+    finds a pair at Hamming 7 whose differing bits hit every old 16-bit
+    block; the old 4-block banding provably misses it."""
+    # flip 7 bits spread so each 16-bit quarter has >= 1 flipped bit
+    flips = [0, 10, 16, 30, 40, 50, 60]
+    sig_a = 0x0123456789ABCDEF
+    sig_b = sig_a
+    for f in flips:
+        sig_b ^= 1 << f
+    # keep signatures in signed-int64 domain
+    def s64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    sh = spark.createDataFrame(
+        [(1, s64(sig_a)), (2, s64(sig_b))], "doc_id long, simhash long")
+    found = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_pairs(sh, max_hamming=7).collect()}
+    assert found == {(1, 2): 7}
+    missed = dedup.simhash_near_pairs(sh, max_hamming=7, blocks=4).collect()
+    assert missed == []  # documented recall loss of explicit coarse blocks
+
+
+def test_minhash_dedup_planted_corpus_exact(spark):
+    """End-to-end determinism: on planted_corpus the verified LSH output
+    is exactly the planted duplicate pairs."""
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    corpus = dedup.planted_corpus(ids)
+    out = {(r.doc_a, r.doc_b): (r.i_cnt, r.u_cnt)
+           for r in dedup.minhash_dedup(corpus, min_num=1,
+                                        min_den=2).collect()}
+    n_sh = dedup.PLANT_WORDS - 3 + 1
+    want = {(i, i + dedup.PLANT_OFFSET): (n_sh, n_sh)
+            for i in range(0, 40, dedup.PLANT_MOD)}
+    assert out == want
+
+
+def test_lsh_topk_multiprobe_recall(spark, vecs):
+    """ANN recall gate: auto-sized bits + Hamming-1 multi-probe must
+    recover >= 0.9 of the brute-force top-5 sets."""
+    bf = sim.brute_force_topk(vecs, n_queries=10, topk=5).collect()
+    ann = sim.lsh_topk(vecs, dim=16, n_queries=10, topk=5,
+                       bits=None, probes=2).collect()
+    want = {(r.query_id, r.neighbor_id) for r in bf}
+    got = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_bits_for_scales_with_corpus():
+    assert sim.bits_for(10) == 3
+    assert sim.bits_for(500) == 3
+    assert sim.bits_for(64 * 1024) == 10
+    assert sim.bits_for(10**12) == 30  # ceil(log2(1e12/64)) = 34, capped
+    assert sim.bits_for(10**12, hi=20) == 20
+
+
+def test_lsh_topk_recall_on_driver_embeddings(spark):
+    """The verdict's acceptance shape: recall@5 >= 0.9 vs brute force on
+    the driver embeddings table, with auto bits + Hamming-2 multi-probe."""
+    import os
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    bf = sim.brute_force_topk(emb, n_queries=10, topk=5).collect()
+    ann = sim.lsh_topk(emb, dim=64, n_queries=10, topk=5,
+                       bits=None, probes=2).collect()
+    want = {(r.query_id, r.neighbor_id) for r in bf}
+    got = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall

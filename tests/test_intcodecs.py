@@ -114,3 +114,22 @@ def test_stats_and_prediction_shapes():
     assert st_.n == arr.size
     sizes = select.predict_int_sizes(st_)
     assert IC.T_FORBP in sizes and sizes[IC.T_FORBP] > 0
+
+
+def test_segment_zone_short_payload_returns_none():
+    """Corrupt/short payloads must disable pruning (None), not silently
+    yield wrong bounds that would skip live blocks."""
+    import struct as _s
+    import numpy as np
+    from zseq.codecs import intcodecs as IC
+
+    vals = np.arange(1000, dtype=np.int64) * 3
+    seg = IC.encode_ints(vals, codec=IC.T_FORBP)
+    assert IC.segment_zone(seg, 0, vals.size) is not None
+    tag, plen = IC.HEADER.unpack_from(seg, 0)
+    # keep only the mini-count, drop the per-mini headers
+    short = IC.HEADER.pack(tag, 2) + bytes(seg[IC.HEADER.size:
+                                              IC.HEADER.size + 2])
+    assert IC.segment_zone(short, 0, vals.size) is None
+    for t in (IC.T_CONST, IC.T_PACK, IC.T_DELTA, IC.T_DICT, IC.T_WRAP):
+        assert IC.segment_zone(IC.HEADER.pack(t, 0), 0, 10) is None

@@ -93,3 +93,17 @@ def test_take_typed(spark):
     S.take_typed(df, "i", T.LongType())
     with pytest.raises(S.SchemaError, match="expected"):
         S.take_typed(df, "i", T.StringType())
+
+
+def test_merge_maps_double_epsilon(spark):
+    """Doubles merge under the reference's f64::EPSILON tolerance
+    (logical.rs:262-271); int conflicts stay strict."""
+    a = spark.createDataFrame([(1, 0.1 + 0.2)], "k long, v double")
+    b = spark.createDataFrame([(1, 0.3)], "k long, v double")
+    # 0.1+0.2 != 0.3 bitwise but differs by ~5.5e-17 < f64::EPSILON
+    out = S.merge_maps(a, b, "k").collect()
+    assert len(out) == 1 and abs(out[0].v - 0.3) < 1e-12
+    c = spark.createDataFrame([(1, 0.3 + 1e-9)], "k long, v double")
+    import pytest as _pt
+    with _pt.raises(Exception, match="merge conflict"):
+        S.merge_maps(a, c, "k").collect()

@@ -55,3 +55,16 @@ def test_mixed_types_table():
         "l": pa.array([[1, 2], None, []], type=pa.list_(pa.int32())),
     })
     assert zseqfile.decode_table(zseqfile.encode_table(tbl)).equals(tbl)
+
+
+def test_truncation_at_any_body_byte_is_clean_valueerror():
+    """The 'truncation detectable' contract: a file cut at ANY byte of the
+    body fails with ValueError, never IndexError/struct.error."""
+    blob = zseqfile.encode_table(synth.tokens_table_arrow(50))
+    body = zseqfile.ZseqReader(blob)._body
+    for cut in range(body, len(blob)):
+        try:
+            zseqfile.decode_table(blob[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"cut at {cut} did not raise ValueError")

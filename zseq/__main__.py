@@ -71,18 +71,22 @@ def cmd_info(args) -> int:
 
 
 def cmd_verify(args) -> int:
-    """Decode and compare vs source by sorted-row equality (the
-    reference's E4 validate + roundtrip check, main.rs:404-445)."""
+    """Decode and compare vs source as a DISTRIBUTED multiset equality:
+    exceptAll in both directions must count 0 (the reference's E4
+    validate + roundtrip check, main.rs:404-445 — but with no driver-side
+    collect, so it runs at any scale; the comparison is two hash
+    aggregations over (all columns))."""
     spark = _spark(args)
     from . import decode as zdec
 
     src = spark.read.parquet(args.input)
-    dec = zdec.decode(spark, args.enc)
-    key = args.key or src.columns[0]
-    a = src.orderBy(key).collect()
-    b = dec.select(src.columns).orderBy(key).collect()
-    ok = a == b
-    print(json.dumps({"rows": len(a), "bit_identical": ok}))
+    dec = zdec.decode(spark, args.enc).select(src.columns)
+    n_src = src.count()
+    missing = src.exceptAll(dec).count()
+    extra = dec.exceptAll(src).count()
+    ok = missing == 0 and extra == 0
+    print(json.dumps({"rows": n_src, "missing": missing, "extra": extra,
+                      "bit_identical": ok}))
     return 0 if ok else 2
 
 
@@ -124,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify")
     v.add_argument("input")
     v.add_argument("enc")
-    v.add_argument("--key", default=None)
+    v.add_argument("--key", default=None,
+                   help="deprecated, ignored (verify is key-free now)")
     v.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("synth")

@@ -511,20 +511,29 @@ def segment_zone(buf, offset: int, count: int) -> tuple[int, int] | None:
     if count == 0:
         return None
     if tag == T_CONST:
+        if len(payload) < 8:
+            return None
         v = int.from_bytes(payload[0:8], "little", signed=True)
         return (v, v)
     I64_MAX = (1 << 63) - 1
     if tag == T_PACK:
+        if len(payload) < 9:
+            return None
         lo = int.from_bytes(payload[0:8], "little", signed=True)
         w = payload[8]
         if w >= 64:
             return None
         return (lo, min(lo + (1 << w) - 1, I64_MAX))
     if tag == T_FORBP:
+        if len(payload) < 2:
+            return None
         (mini,) = struct.unpack_from("<H", payload, 0)
         if mini == 0:
             return None
         nminis = (count + mini - 1) // mini
+        if 2 + 9 * nminis > len(payload):
+            # Short/corrupt header region: no pruning (decode will raise).
+            return None
         lo_all, hi_all = None, None
         pos = 2
         for _ in range(nminis):
@@ -550,14 +559,18 @@ def segment_zone(buf, offset: int, count: int) -> tuple[int, int] | None:
             return None  # decode wraps near the i64 extremes — no bound
         return (lo, hi)
     if tag == T_DICT:
+        if len(payload) < 4:
+            return None
         (card,) = struct.unpack_from("<I", payload, 0)
         return segment_zone(payload, 4, card)
     if tag == T_WRAP:
-        if payload[4]:
+        if len(payload) >= 21 and payload[4]:
             lo, hi = struct.unpack_from("<qq", payload, 5)
             return (lo, hi)
         return None
     if tag == T_DELTA:
+        if len(payload) < 24:
+            return None
         lo = int.from_bytes(payload[8:16], "little", signed=True)
         hi = int.from_bytes(payload[16:24], "little", signed=True)
         return (lo, hi)

@@ -259,10 +259,15 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
                             count=2 * (arr.offset + n))
         raw = raw.reshape(-1, 2)[arr.offset:]
         lo64, hi64 = raw[:, 0].copy(), raw[:, 1]
-        if not np.array_equal(hi64, lo64 >> 63):
-            raise ValueError("decimal128: value exceeds 64-bit range")
+        # Null slots may carry arbitrary buffer bytes (legal in Arrow —
+        # compute kernels / IPC produce non-canonical garbage there), so
+        # the 64-bit range check only applies to valid slots.
+        ok = hi64 == (lo64 >> 63)
         if valid is not None:
+            ok = ok | ~valid
             lo64 = np.where(valid, lo64, 0)
+        if not ok.all():
+            raise ValueError("decimal128: value exceeds 64-bit range")
         seg = IC.encode_ints(lo64)
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_DECIMAL) + struct.pack(

@@ -158,16 +158,40 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
                   num_hashes: int = 64, bands: int = 16,
                   min_num: int = 1, min_den: int = 5) -> DataFrame:
-    """Candidates from LSH, verified by exact Jaccard (only candidate
-    pairs pay the verification join — the LSH recall/precision trade is
-    the standard one; bands*rows must equal num_hashes)."""
+    """Candidates from LSH, verified by exact Jaccard — and ONLY candidate
+    pairs pay verification. The corpus-scale plan is: one banded equi-join
+    over the full corpus (candidate generation), then a semi-join that
+    restricts the document set to candidate ids, then two hash joins that
+    attach each candidate doc's distinct-shingle array and compute the
+    intersection with array_intersect. No all-pairs shingle join ever runs
+    over the full corpus (that quadratic blow-up is exactly what LSH
+    exists to avoid). bands*rows must equal num_hashes."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, col, k, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows)
-    exact = ngram_jaccard_pairs(df, col, k, min_num=0, min_den=1)
+    # Shingle arrays only for docs that appear in some candidate pair.
+    ids = (cand.selectExpr("doc_a as doc_id")
+           .union(cand.selectExpr("doc_b as doc_id")).distinct())
+    sh_s, _ = shingle_exprs(col, k)
+    sets = (
+        df.selectExpr("cast(doc_id as bigint) as doc_id", col)
+        .join(ids, on="doc_id", how="left_semi")
+        .selectExpr("doc_id", f"array_distinct({sh_s}) as sh")
+        .selectExpr("doc_id", "sh", "size(sh) as n_sh")
+    )
     return (
-        cand.join(exact, on=["doc_a", "doc_b"])
+        cand
+        .join(sets.selectExpr("doc_id as doc_a", "sh as sh_a",
+                              "n_sh as n_a"), on="doc_a")
+        .join(sets.selectExpr("doc_id as doc_b", "sh as sh_b",
+                              "n_sh as n_b"), on="doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            "cast(size(array_intersect(sh_a, sh_b)) as bigint) as i_cnt",
+            "cast(n_a + n_b - size(array_intersect(sh_a, sh_b)) as bigint)"
+            " as u_cnt")
         .filter(f"i_cnt * {min_den} >= u_cnt * {min_num}")
+        .select("doc_a", "doc_b", "i_cnt", "u_cnt")
     )
 
 
@@ -198,22 +222,49 @@ def simhash(df: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
     return agg.selectExpr("doc_id", f"({bit_terms}) as simhash")
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Candidate generation by 4x16-bit block buckets (pigeonhole: any
-    pair within Hamming distance 3 shares a block; wider radii verified
-    by exact popcount on the 64-bit signatures)."""
-    blocks = sh.select(
+def _block_bounds(n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_blocks`` contiguous (offset, width) blocks,
+    widths differing by at most 1."""
+    base, extra = divmod(bits, n_blocks)
+    bounds, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
+                       blocks: int | None = None) -> DataFrame:
+    """Candidate generation by block buckets over the 64-bit signature,
+    exact popcount verification.
+
+    Recall contract (pigeonhole): a pair at Hamming distance d is
+    GUARANTEED to share a block iff d < blocks. The default therefore
+    uses ``blocks = max_hamming + 1``, making recall exact for the
+    requested radius. The trade at corpus scale: block width = 64/blocks
+    bits, so bucket cardinality is 2^(64/blocks) — wider radii mean
+    coarser buckets and more candidates to verify. Callers chasing
+    10^12-row scale should keep max_hamming <= 3 (16-bit blocks, 65536
+    buckets) or pass an explicit smaller ``blocks`` and accept the
+    documented recall loss (pairs with > blocks-1 differing bits spread
+    across all blocks are missed)."""
+    n_blocks = (max_hamming + 1) if blocks is None else blocks
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"simhash blocks must be in [1, 64]: {n_blocks}")
+    bounds = _block_bounds(n_blocks)
+    blk = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright("simhash", i * 16).bitwiseAND(
-                    F.lit(0xFFFF)).alias("v"),
+                F.shiftright("simhash", off).bitwiseAND(
+                    F.lit((1 << w) - 1)).alias("v"),
             )
-            for i in range(4)
+            for i, (off, w) in enumerate(bounds)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.blk", "b.v")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    a, b = blk.alias("a"), blk.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.v") == F.col("b.v"))
@@ -226,5 +277,60 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
         .withColumn("hamming", F.bit_count(
             F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .selectExpr("doc_a", "doc_b", "cast(hamming as bigint) as hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate corpus: deterministic expected output for the
+# probabilistic pipelines (so the driver's DuckDB oracle can value-check
+# minhash-LSH and simhash end to end, not just count rows).
+# ---------------------------------------------------------------------------
+
+PLANT_OFFSET = 10_000_000
+PLANT_MOD = 10
+PLANT_WORDS = 20
+
+
+def planted_corpus(df: DataFrame) -> DataFrame:
+    """Synthesize a corpus from the doc_id column alone: each base doc is
+    PLANT_WORDS unique words ("w<id>x<j>"), so distinct base docs share
+    zero shingles (Jaccard 0); every doc_id % PLANT_MOD == 0 also gets an
+    exact duplicate at doc_id + PLANT_OFFSET (Jaccard 1, identical MinHash
+    signature / SimHash => recall is guaranteed, not probabilistic, and
+    any spurious LSH candidate is removed by exact verification — the
+    output is therefore fully deterministic and SQL-expressible)."""
+    text = (
+        f"concat_ws(' ', transform(sequence(0, {PLANT_WORDS - 1}), "
+        f"j -> concat('w', cast(doc_id as string), 'x', "
+        f"cast(j as string)))) as text"
+    )
+    base = df.selectExpr("cast(doc_id as bigint) as doc_id") \
+        .selectExpr("doc_id", text)
+    dups = base.filter(f"doc_id % {PLANT_MOD} = 0") \
+        .selectExpr(f"doc_id + {PLANT_OFFSET} as doc_id", "text")
+    return base.union(dups)
+
+
+def minhash_planted_oracle_sql(k: int = 3, table: str = "documents") -> str:
+    """Expected minhash_dedup output on planted_corpus: exactly the
+    planted pairs, each with i_cnt = u_cnt = PLANT_WORDS - k + 1."""
+    n_sh = PLANT_WORDS - k + 1
+    return (
+        f"SELECT cast(doc_id as bigint) as doc_a, "
+        f"cast(doc_id + {PLANT_OFFSET} as bigint) as doc_b, "
+        f"cast({n_sh} as bigint) as i_cnt, "
+        f"cast({n_sh} as bigint) as u_cnt "
+        f"FROM {table} WHERE doc_id % {PLANT_MOD} = 0"
+    )
+
+
+def simhash_planted_oracle_sql(table: str = "documents") -> str:
+    """Expected simhash_near_pairs output on planted_corpus: the planted
+    pairs at Hamming 0 (identical text => identical signature)."""
+    return (
+        f"SELECT cast(doc_id as bigint) as doc_a, "
+        f"cast(doc_id + {PLANT_OFFSET} as bigint) as doc_b, "
+        f"cast(0 as bigint) as hamming "
+        f"FROM {table} WHERE doc_id % {PLANT_MOD} = 0"
     )

@@ -353,24 +353,30 @@ WHERE n_tok = {heavy}
 
 
 def q_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lineage/metrics surface (rows-only check: sizes depend on codec
-    choices, not SQL-expressible)."""
+    """Lineage/metrics surface, value-checked: the encode job's reported
+    totals (part count, rows, flat list elements) must equal what DuckDB
+    counts on the source table. Byte sizes stay un-oracled (they depend
+    on codec choice, which the size-parity pytest gates instead)."""
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="zseq_metrics_")
     res = zenc.encode(df, out, partitions=4)
-    rows = [
-        {
-            "part_id": p["part_id"], "rows": p["rows"],
-            "list_elems": p["list_elems"], "enc_bytes": p["enc_bytes"],
-            "codecs": p["codecs"],
-        }
-        for p in res.parts
-    ]
-    return spark.createDataFrame(rows) if rows else spark.createDataFrame(
-        [], "part_id int, rows long, list_elems long, enc_bytes long, "
-            "codecs string")
+    assert res.total_enc_bytes > 0 and len(res.parts) >= 1
+    row = [{
+        "n_rows": res.total_rows,
+        "list_elems": res.total_list_elems,
+    }]
+    return spark.createDataFrame(row).selectExpr(
+        "cast(n_rows as bigint) as n_rows",
+        "cast(list_elems as bigint) as list_elems")
+
+
+_Q_METRICS_ORACLE_TMPL = """
+SELECT cast(count(*) as bigint) as n_rows,
+       cast(sum(n_tok) as bigint) as list_elems
+FROM ({inner})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +417,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=12)
 
 
+def q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash->LSH->verify pipeline, value-checked end to end:
+    on the planted corpus the deterministic expected output is exactly
+    the planted duplicate pairs (recall guaranteed by identical
+    signatures; precision guaranteed by exact verification)."""
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_dedup(dedup.planted_corpus(df),
+                               min_num=1, min_den=2)
+
+
+def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + block banding, value-checked end to end on the planted
+    corpus (planted pairs at Hamming 0; 4 blocks pigeonhole-guarantee
+    radius 3)."""
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = dedup.planted_corpus(df)
+    return dedup.simhash_near_pairs(dedup.simhash(corpus), max_hamming=3)
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sim
 
@@ -422,16 +451,17 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sim
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(df.select("embedding").first()["embedding"])
-    return sim.lsh_buckets(df, dim)
+    return sim.lsh_buckets(df, _EMB_DIM)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with corpus-sized bits + Hamming-1 multi-probe. bits=None
+    derives from the row count, so the Spark side and the static oracle
+    (built for the driver's sf0.01 row count) agree."""
     from . import sim
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(df.select("embedding").first()["embedding"])
-    return sim.lsh_topk(df, dim)
+    return sim.lsh_topk(df, _EMB_DIM, bits=None, probes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +513,8 @@ def queries() -> dict:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "dedup_simhash_planted": q_dedup_simhash_planted,
         "sim_topk_bruteforce": q_sim_bruteforce,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -527,7 +559,8 @@ def oracle_sql() -> dict:
         "merge_tables": _Q_MERGE_ORACLE,
         "defaults_fill": _Q_DEFAULTS_ORACLE,
         "shred_lengths": _Q_SHRED_ORACLE,
-        # encode_metrics: intentionally no oracle (rows-only check).
+        "encode_metrics": _Q_METRICS_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
         "pushdown_projection": _Q_PROJ_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "pushdown_predicate": _Q_PRED_ORACLE_TMPL.format(
@@ -536,9 +569,12 @@ def oracle_sql() -> dict:
         "text_analyze": _text_analyze_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
-        # dedup_minhash_lsh / dedup_simhash: probabilistic candidate
-        # generation (xxhash64-based) — rows-only; the verification
-        # kernel they share IS oracle-checked via dedup_ngram_jaccard.
+        # dedup_minhash_lsh / dedup_simhash on the REAL documents table:
+        # recall is probabilistic (xxhash64-based candidates) — rows-only.
+        # The same pipelines are value-checked end to end on the planted
+        # corpus below, where recall is structurally guaranteed.
+        "dedup_minhash_planted": _dedup_minhash_planted_oracle(),
+        "dedup_simhash_planted": _dedup_simhash_planted_oracle(),
         "sim_topk_bruteforce": _sim_bf_oracle(),
         "sim_lsh_buckets": _sim_buckets_oracle(),
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
@@ -563,7 +599,20 @@ def _dedup_ngram_oracle() -> str:
     return dedup.ngram_jaccard_oracle_sql(min_num=1, min_den=10)
 
 
-_EMB_DIM = 64  # driver testdata embeddings dimension
+def _dedup_minhash_planted_oracle() -> str:
+    from . import dedup
+
+    return dedup.minhash_planted_oracle_sql()
+
+
+def _dedup_simhash_planted_oracle() -> str:
+    from . import dedup
+
+    return dedup.simhash_planted_oracle_sql()
+
+
+_EMB_DIM = 64    # driver testdata embeddings dimension
+_EMB_ROWS = 500  # embeddings row count at the driver's correctness sf (0.01)
 
 
 def _sim_bf_oracle() -> str:
@@ -581,4 +630,5 @@ def _sim_buckets_oracle() -> str:
 def _sim_lsh_topk_oracle() -> str:
     from . import sim
 
-    return sim.lsh_topk_oracle_sql(_EMB_DIM)
+    return sim.lsh_topk_oracle_sql(
+        _EMB_DIM, bits=sim.bits_for(_EMB_ROWS), probes=2)

@@ -164,11 +164,21 @@ def merge_maps(a: DataFrame, b: DataFrame, key: str,
     value_cols = [c for c in a.columns if c != key]
     bj = b.select(key, *[F.col(c).alias(f"__b_{c}") for c in value_cols])
     joined = a.join(bj, on=key, how="full_outer")
+    # Doubles merge under the reference's epsilon tolerance
+    # (logical.rs:262-271: (a - b).abs() < f64::EPSILON); every other
+    # primitive must be exactly equal.
+    f64_eps = 2.220446049250313e-16
+    double_cols = {
+        f.name for f in a.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
     out = [F.col(key)]
     for c in value_cols:
         l, r = F.col(c), F.col(f"__b_{c}")
         if resolve == "error":
-            conflict = l.isNotNull() & r.isNotNull() & (l != r)
+            differs = (F.abs(l - r) >= f64_eps) if c in double_cols \
+                else (l != r)
+            conflict = l.isNotNull() & r.isNotNull() & differs
             merged = F.when(
                 conflict,
                 F.raise_error(F.concat(

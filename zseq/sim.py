@@ -30,6 +30,21 @@ QUANT = 1000
 SIM_BITS = 8
 
 
+def bits_for(n_rows: int, target_occupancy: int = 64,
+             lo: int = 3, hi: int = 30) -> int:
+    """Hyperplane count sized from the corpus: 2^bits buckets targeting
+    ~target_occupancy rows per bucket, clamped to [lo, hi]. This is the
+    100x-scale knob the fixed SIM_BITS constant lacked: at 10^12 rows it
+    yields 34->30 bits (capped), keeping the bucket join's per-key fan-in
+    bounded instead of degenerating to 256 global buckets."""
+    import math
+
+    n = max(int(n_rows), 1)
+    if n <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_occupancy))))
+
+
 def _qdot(a: str, b: str) -> str:
     """Spark SQL: exact integer dot product of two float arrays."""
     return (
@@ -157,19 +172,43 @@ def lsh_bucket_oracle_sql(dim: int, bits: int = SIM_BITS,
     )
 
 
+def _probe_masks(bits: int, probes: int) -> list[int]:
+    """XOR masks of the probed buckets: home bucket, all Hamming-1 flips
+    (probes >= 1), all Hamming-2 flips (probes >= 2). Masks are distinct,
+    so each (query, neighbor) pair matches at most once. Probed-bucket
+    count is 1 + bits + C(bits,2) at probes=2 — at corpus scale (bits
+    ~20-30) that's a few hundred buckets of ~target_occupancy rows each,
+    the standard multi-probe cost/recall trade."""
+    masks = [0]
+    if probes >= 1:
+        masks += [1 << j for j in range(bits)]
+    if probes >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(bits) for j in range(i + 1, bits)]
+    return masks
+
+
 def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
-             bits: int = SIM_BITS, id_col: str = "vec_id",
+             bits: int | None = None, probes: int = 1,
+             id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """ANN: rank by exact quantized dot product *within* the query's LSH
-    bucket (single-probe; recall is bucket-local by construction)."""
+    """ANN: rank by exact quantized dot product within the query's LSH
+    bucket plus (probes >= 1) all Hamming-1 neighbor buckets. bits=None
+    sizes the hyperplane count from the corpus (bits_for), so bucket
+    occupancy stays bounded at any scale instead of being hostage to a
+    global constant."""
     from pyspark.sql import Window
 
+    if bits is None:
+        bits = bits_for(df.count())
     b = df.selectExpr(
         f"cast({id_col} as bigint) as {id_col}", vec_col,
         f"{bucket_expr(vec_col, dim, bits)} as bucket")
-    q = b.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.col("bucket"))
+    probe = ", ".join(
+        f"cast(bucket ^ {m} as bigint)" for m in _probe_masks(bits, probes))
+    q = b.filter(F.col(id_col) < n_queries).selectExpr(
+        f"{id_col} as query_id", f"{vec_col} as qv",
+        f"explode(array({probe})) as bucket")
     joined = b.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         "bucket",
@@ -190,15 +229,19 @@ def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
 
 
 def lsh_topk_oracle_sql(dim: int, n_queries: int = 10, topk: int = 5,
-                        bits: int = SIM_BITS, table: str = "embeddings",
+                        bits: int = SIM_BITS, probes: int = 1,
+                        table: str = "embeddings",
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> str:
     bx = bucket_expr(vec_col, dim, bits, dialect="duckdb")
     dot = _qdot_duck("q.qv", "n.nv")
+    probe_list = ", ".join(
+        f"xor(bucket, {m})" for m in _probe_masks(bits, probes))
     return f"""
 WITH b AS (SELECT cast({id_col} as bigint) as {id_col}, {vec_col},
                   {bx} as bucket FROM {table}),
-     q AS (SELECT {id_col} as query_id, {vec_col} as qv, bucket FROM b
+     q AS (SELECT {id_col} as query_id, {vec_col} as qv,
+                  unnest([{probe_list}]) as bucket FROM b
            WHERE {id_col} < {n_queries}),
      n AS (SELECT {id_col} as neighbor_id, {vec_col} as nv, bucket FROM b),
      scored AS (

@@ -144,10 +144,20 @@ class ZseqReader:
         mv = self._mv
         pos = self._body
         rows_seen = 0
+
+        def need(nbytes: int) -> None:
+            # Every marker/header/chunk read is bounds-checked so a file
+            # cut at ANY byte fails with the contract's clean ValueError,
+            # not an IndexError/struct.error from running off the buffer.
+            if pos + nbytes > len(mv):
+                raise ValueError("zseq: truncated file")
+
         while True:
+            need(1)
             marker = mv[pos]
             pos += 1
             if marker == 0:
+                need(8)
                 (total,) = struct.unpack_from("<Q", mv, pos)
                 pos += 8
                 if total != rows_seen:
@@ -160,6 +170,7 @@ class ZseqReader:
                 return
             if marker != 1:
                 raise ValueError(f"zseq: bad block marker {marker}")
+            need(4)
             (nrows,) = struct.unpack_from("<I", mv, pos)
             pos += 4
             rows_seen += nrows
@@ -167,8 +178,10 @@ class ZseqReader:
             offsets: dict[str, int] = {}
             zonemaps: dict[str, tuple[int, int] | None] = {}
             for name in names:
+                need(4)
                 (clen,) = struct.unpack_from("<I", mv, pos)
                 pos += 4
+                need(clen)
                 offsets[name] = pos
                 if predicate:
                     _kind, zm = COL.chunk_stats(mv, pos, nrows)
