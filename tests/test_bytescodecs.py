@@ -68,3 +68,34 @@ def test_zstd_matches_reference_level():
     blob = bytes(range(256)) * 100
     comp = BC.zstd_compress(np.frombuffer(blob, np.uint8))
     assert BC.zstd_decompress(comp, len(blob)) == blob
+
+
+def test_zstd_level_configurable_roundtrip():
+    """Levels 1/9/22 (reference compression.rs:14-23) all roundtrip; the
+    module default is restored afterwards."""
+    import numpy as np
+    from zseq.codecs import bytescodecs as BC
+
+    text = ("the quick brown fox " * 400).encode()
+    lengths = np.full(40, len(text) // 40, dtype=np.int64)
+    data = np.frombuffer(text[: int(lengths.sum())], np.uint8)
+    sizes = {}
+    try:
+        for lvl in (1, 9, 22):
+            BC.set_zstd_level(lvl)
+            enc = BC.encode_binary(lengths, data, codec=BC.T_BIN_ZSTD)
+            l2, d2, _ = BC.decode_binary(enc, 0, lengths.size)
+            assert np.array_equal(l2, lengths)
+            assert bytes(d2) == bytes(data)
+            sizes[lvl] = len(enc)
+        # decode works across levels: encode @22, decode with default
+        BC.set_zstd_level(22)
+        enc22 = BC.encode_binary(lengths, data, codec=BC.T_BIN_ZSTD)
+    finally:
+        BC.set_zstd_level(3)
+    l2, d2, _ = BC.decode_binary(enc22, 0, lengths.size)
+    assert bytes(d2) == bytes(data)
+    assert sizes[22] <= sizes[1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="1, 22"):
+        BC.set_zstd_level(0)

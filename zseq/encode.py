@@ -144,7 +144,12 @@ def _take_table(tbl: pa.Table, order: np.ndarray) -> pa.Table:
 
 def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
                           schema: pa.Schema, cluster: bool,
-                          batch_rows: int, t0: float) -> dict:
+                          batch_rows: int, t0: float,
+                          zstd_level: int | None = None) -> dict:
+    if zstd_level is not None:
+        from .codecs import bytescodecs as _BC
+
+        _BC.set_zstd_level(zstd_level)
     raw_bytes = tbl.nbytes
     if cluster:
         order = _cluster_order(tbl)
@@ -178,7 +183,7 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
 
 
 def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
-                      batch_rows: int):
+                      batch_rows: int, zstd_level: int | None = None):
     def fn(batches):
         from pyspark import TaskContext
 
@@ -189,14 +194,16 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
             return
         tbl = pa.Table.from_batches(got).combine_chunks()
         row = _encode_table_to_file(
-            tbl, out_dir, pid, schema, cluster, batch_rows, t0)
+            tbl, out_dir, pid, schema, cluster, batch_rows, t0,
+            zstd_level)
         yield pa.RecordBatch.from_pylist([row], schema=_METRICS_PA)
 
     return fn
 
 
 def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
-                  batch_rows: int, columns: list[str] | None):
+                  batch_rows: int, columns: list[str] | None,
+                  zstd_level: int | None = None):
     """Task fn for the parquet fast path: each input row is
     (part_id, file path); the worker reads the parquet itself via pyarrow
     (bypassing the JVM row->Arrow conversion, which profiling shows costs
@@ -220,7 +227,7 @@ def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
                 tbl = tbl.cast(schema)
                 out = _encode_table_to_file(
                     tbl, out_dir, row["part_id"], schema, cluster,
-                    batch_rows, t0)
+                    batch_rows, t0, zstd_level)
                 yield pa.RecordBatch.from_pylist([out], schema=_METRICS_PA)
 
     return fn
@@ -230,7 +237,9 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
            partitions: int | None = None,
            cluster: bool = True, batch_rows: int = 1 << 16,
            partition_col: str | None = None,
-           resume: bool = False) -> EncodeResult:
+           resume: bool = False,
+           zstd_level: int | None = None,
+           reversed_cols: list[str] | None = None) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` as .zseq blobs + manifest.json.
 
     ``mode='preserve'`` (default): no shuffle — one encode task per input
@@ -257,6 +266,14 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
 
     ``resume``: skip partitions already committed in an existing manifest
     (hash mode only).
+
+    ``zstd_level``: zstd compression level 1-22 applied inside every
+    encode worker (reference compression.rs:14-23; default 3). Recorded
+    in the manifest; decode never needs it (zstd frames self-describe).
+
+    ``reversed_cols``: mark these columns Reversed (descending-order
+    semantics, striped.rs:490-513) — a no-op wrapper in the chunk stream
+    plus schema metadata, honored transparently on decode.
     """
     spark = df.sparkSession
     from .session import ship_package
@@ -287,7 +304,13 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
                 if os.path.exists(path):
                     done_parts[p["part_id"]] = p
 
+    if zstd_level is not None and not 1 <= zstd_level <= 22:
+        raise ValueError(f"zstd level must be in [1, 22]: {zstd_level}")
     arrow_schema = to_arrow_schema(df)
+    if reversed_cols:
+        from .column import mark_reversed
+
+        arrow_schema = mark_reversed(arrow_schema, reversed_cols)
     parts: list[dict] = []
     if mode == "salted":
         work = _salted_repartition(df, P, key)
@@ -306,7 +329,8 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         work = df
         run = True
     if run:
-        fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows)
+        fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows,
+                               zstd_level)
         metrics = work.mapInArrow(fn, METRICS_SCHEMA)
         parts = [r.asDict() for r in metrics.collect()]
     parts.extend(done_parts.values())
@@ -317,6 +341,8 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         "mode": mode,
         "partitions": P if mode == "hash" else len(parts),
         "partition_col": key,
+        "zstd_level": zstd_level or 3,
+        "reversed_cols": reversed_cols or [],
         "schema": arrow_schema.serialize().to_pybytes().hex(),
         "schema_names": arrow_schema.names,
         "parts": parts,
@@ -415,7 +441,9 @@ def _salted_repartition(df: DataFrame, P: int, key: str) -> DataFrame:
 def encode_parquet(spark, input_dir: str, out_dir: str, *,
                    cluster: bool = True, batch_rows: int = 1 << 16,
                    columns: list[str] | None = None,
-                   resume: bool = False) -> EncodeResult:
+                   resume: bool = False,
+                   zstd_level: int | None = None,
+                   reversed_cols: list[str] | None = None) -> EncodeResult:
     """Parquet -> .zseq fast path: workers read parquet files directly
     with pyarrow instead of scanning through Spark's row pipeline.
 
@@ -458,9 +486,15 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     ]
     import pyarrow.parquet as pq
 
+    if zstd_level is not None and not 1 <= zstd_level <= 22:
+        raise ValueError(f"zstd level must be in [1, 22]: {zstd_level}")
     arrow_schema = pq.read_schema(files[0])
     if columns:
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    if reversed_cols:
+        from .column import mark_reversed
+
+        arrow_schema = mark_reversed(arrow_schema, reversed_cols)
     parts: list[dict] = []
     if todo:
         ncores = spark.sparkContext.defaultParallelism
@@ -471,7 +505,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
             numSlices=len(todo))
         pdf = spark.createDataFrame(rdd, "part_id int, path string")
         fn = _encode_files(out_dir, arrow_schema, cluster, batch_rows,
-                           columns)
+                           columns, zstd_level)
         parts = [r.asDict() for r in pdf.mapInArrow(fn, METRICS_SCHEMA)
                  .collect()]
     parts.extend(done_parts.values())
@@ -481,6 +515,8 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         "mode": "files",
         "partitions": len(files),
         "partition_col": None,
+        "zstd_level": zstd_level or 3,
+        "reversed_cols": reversed_cols or [],
         "input_files": files,
         "schema": arrow_schema.serialize().to_pybytes().hex(),
         "schema_names": arrow_schema.names,

@@ -191,6 +191,71 @@ def _identity_oracle(table: str, keys: list[str], col: str, out_name: str,
     return f"SELECT {sel} FROM {table}"
 
 
+def q_codec_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S15: Enum (sum-type) column through the real codec machinery —
+    tags + sparse per-variant children (striped.rs:340-387 shred,
+    :617-657 unshred, binary.rs:332-344 I/O). Spark has no union type, so
+    rows cross the boundary as (tag, int-variant, string-variant); the
+    dense union is BUILT, ENCODED, DECODED, and re-flattened inside the
+    Arrow batch, and every output value is read back from the decoded
+    union (tag included), so any enum codec bug breaks the oracle hash."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id as bigint) as event_id",
+        "cast(event_id % 2 as bigint) as tag_in",
+        "cast(user_id as bigint) as iv",
+        "cast(coalesce(event_type, '') as string) as sv")
+
+    def fn(batches):
+        from zseq import column as C
+
+        ut = pa.union(
+            [pa.field("i", pa.int64()), pa.field("s", pa.string())],
+            mode="dense", type_codes=[0, 1])
+        for b in batches:
+            tag = b.column(1).to_numpy(zero_copy_only=False).astype(np.int8)
+            m0 = tag == 0
+            m1 = ~m0
+            offs = np.zeros(tag.size, np.int32)
+            offs[m0] = np.arange(int(m0.sum()), dtype=np.int32)
+            offs[m1] = np.arange(int(m1.sum()), dtype=np.int32)
+            u = pa.UnionArray.from_dense(
+                pa.array(tag, pa.int8()), pa.array(offs, pa.int32()),
+                [b.column(2).filter(pa.array(m0)),
+                 b.column(3).filter(pa.array(m1))],
+                field_names=["i", "s"], type_codes=[0, 1])
+            blob = C.encode_column(u, {}, "e")
+            dec, _ = C.decode_column(memoryview(blob), 0, ut, len(u))
+            dtag = np.asarray(dec.type_codes)
+            doffs = np.frombuffer(dec.buffers()[2], np.int32,
+                                  count=len(dec)) if len(dec) else \
+                np.zeros(0, np.int32)
+            d0 = dtag == 0
+            i_val = dec.field(0).take(
+                pa.array(doffs, pa.int32(), mask=~d0))
+            s_val = dec.field(1).take(
+                pa.array(doffs, pa.int32(), mask=d0))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0),
+                 pa.array(dtag.astype(np.int64)),
+                 i_val, s_val],
+                names=["event_id", "tag", "i_val", "s_val"])
+
+    return df.mapInArrow(
+        fn, "event_id long, tag long, i_val long, s_val string")
+
+
+_Q_ENUM_ORACLE = """
+SELECT cast(event_id as bigint) as event_id,
+       cast(event_id % 2 as bigint) as tag,
+       case when event_id % 2 = 0 then cast(user_id as bigint) end as i_val,
+       case when event_id % 2 = 1 then coalesce(event_type, '') end as s_val
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Schema / logical-layer operator queries (SURVEY.md §2.1 L1-L7)
 # ---------------------------------------------------------------------------
@@ -501,6 +566,7 @@ def queries() -> dict:
             "documents", ["doc_id"], "text", BC.T_BIN_ZSTD, "text_rt"),
         "codec_auto_str": _str_roundtrip(
             "events", ["event_id"], "event_type", None, "et_rt"),
+        "codec_enum": q_codec_enum,
         "validate_date_range": q_validate_date_range,
         "merge_tables": q_merge_tables,
         "defaults_fill": q_defaults_fill,
@@ -555,6 +621,7 @@ def oracle_sql() -> dict:
         "codec_auto_str": _identity_oracle(
             "events", ["event_id"], "event_type", "et_rt", cast="varchar",
             fill=""),
+        "codec_enum": _Q_ENUM_ORACLE,
         "validate_date_range": _Q_VALIDATE_ORACLE,
         "merge_tables": _Q_MERGE_ORACLE,
         "defaults_fill": _Q_DEFAULTS_ORACLE,

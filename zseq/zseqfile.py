@@ -71,8 +71,12 @@ class ZseqWriter:
         out = io.BytesIO()
         out.write(struct.pack("<BI", 1, batch.num_rows))
         for i, name in enumerate(self.schema.names):
-            chunk = COL.encode_column(batch.column(i), self.codec_stats,
-                                      name)
+            if COL.is_reversed(self.schema.field(i)):
+                chunk = COL.encode_column_reversed(
+                    batch.column(i), self.codec_stats, name)
+            else:
+                chunk = COL.encode_column(batch.column(i),
+                                          self.codec_stats, name)
             out.write(struct.pack("<I", len(chunk)))
             out.write(chunk)
         self._write(out.getvalue())
