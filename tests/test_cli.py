@@ -1,0 +1,39 @@
+"""CLI entry points that don't need their own Spark session (dump) plus
+the distributed verify path, driven through main(argv)."""
+
+import json
+
+import pytest
+
+from zseq import synth
+from zseq import encode as zenc
+from zseq.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def enc_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    df = synth.tokens_df_range(spark, 500, partitions=2)
+    zenc.encode(df, out, partitions=2)
+    return out
+
+
+def test_dump_striped_debug_view(enc_dir, capsys):
+    assert main(["dump", enc_dir, "--limit", "5"]) == 0
+    view = json.loads(capsys.readouterr().out)
+    assert view["rows"] > 0
+    assert set(view["columns"]) == {"doc_id", "tokens", "n_tok", "source"}
+    assert all(len(v) <= 5 for v in view["columns"].values())
+    assert view["codecs"]  # per-column codec tags present
+    assert view["schema"]["tokens"].startswith("list")
+
+
+def test_dump_part_out_of_range(enc_dir, capsys):
+    assert main(["dump", enc_dir, "--part", "99"]) == 1
+
+
+def test_info(enc_dir, capsys):
+    assert main(["info", enc_dir]) == 0
+    view = json.loads(capsys.readouterr().out)
+    assert view["format"] == "zseq/1"
+    assert view["totals"]["rows"] == 500

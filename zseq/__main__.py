@@ -2,9 +2,12 @@
 (/root/reference/zbra-cli/src/main.rs: convert/info/validate/example).
 
     python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash]
+                           [--zstd-level 1..22]
     python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
     python -m zseq info    ENC_DIR
-    python -m zseq verify  INPUT_PARQUET_DIR ENC_DIR      (bit-identical gate)
+    python -m zseq dump    ENC_DIR [--part K --limit N]   (striped debug view)
+    python -m zseq verify  INPUT_PARQUET_DIR ENC_DIR      (bit-identical gate,
+                           distributed exceptAll — no driver collect)
     python -m zseq synth   OUT_PARQUET_DIR --docs N       (deterministic corpus)
 
 Run standalone (builds its own local SparkSession) or via
@@ -92,6 +95,49 @@ def cmd_verify(args) -> int:
     return 0 if ok else 2
 
 
+def cmd_dump(args) -> int:
+    """E6: the striped debug view (zbra-cli main.rs:744-1112) — decoded
+    per-column JSON dump of one part file, with the codec chosen for each
+    column. Driver-side and bounded by --limit: a debug tool, not a data
+    path."""
+    import os
+
+    from .encode import read_manifest
+    from .zseqfile import ZseqReader
+
+    m = read_manifest(args.input)
+    if m is None:
+        print(f"error: no manifest.json in {args.input}", file=sys.stderr)
+        return 1
+    if not 0 <= args.part < len(m["parts"]):
+        print(f"error: part {args.part} out of range "
+              f"(0..{len(m['parts']) - 1})", file=sys.stderr)
+        return 1
+    part = m["parts"][args.part]
+    with open(os.path.join(args.input, part["file"]), "rb") as f:
+        r = ZseqReader(f.read())
+    tbl = r.read_all()
+
+    def jval(o):
+        if isinstance(o, bytes):
+            return o.hex()
+        return str(o)
+
+    view = {
+        "file": part["file"],
+        "rows": tbl.num_rows,
+        "schema": {n: str(tbl.schema.field(n).type)
+                   for n in tbl.column_names},
+        "codecs": json.loads(part["codecs"]),
+        "columns": {
+            n: tbl.column(n).slice(0, args.limit).to_pylist()
+            for n in tbl.column_names
+        },
+    }
+    print(json.dumps(view, indent=2, default=jval))
+    return 0
+
+
 def cmd_synth(args) -> int:
     spark = _spark(args)
     from . import synth
@@ -136,6 +182,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--key", default=None,
                    help="deprecated, ignored (verify is key-free now)")
     v.set_defaults(fn=cmd_verify)
+
+    du = sub.add_parser("dump")
+    du.add_argument("input")
+    du.add_argument("--part", type=int, default=0)
+    du.add_argument("--limit", type=int, default=20)
+    du.set_defaults(fn=cmd_dump)
 
     s = sub.add_parser("synth")
     s.add_argument("out")

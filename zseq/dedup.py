@@ -168,7 +168,12 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
     exists to avoid). bands*rows must equal num_hashes."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, col, k, num_hashes)
-    cand = lsh_candidate_pairs(sigs, bands, rows)
+    # The candidate set is referenced three times below (ids twice, the
+    # verification join once). Without materialization Spark re-executes
+    # the full-corpus banded join per reference — localCheckpoint makes
+    # it compute exactly once (its size is the LSH output: bounded by
+    # bucket occupancy, tiny next to the corpus).
+    cand = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(False)
     # Shingle arrays only for docs that appear in some candidate pair.
     ids = (cand.selectExpr("doc_a as doc_id")
            .union(cand.selectExpr("doc_b as doc_id")).distinct())
@@ -178,6 +183,7 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
         .join(ids, on="doc_id", how="left_semi")
         .selectExpr("doc_id", f"array_distinct({sh_s}) as sh")
         .selectExpr("doc_id", "sh", "size(sh) as n_sh")
+        .localCheckpoint(False)  # referenced by both join sides below
     )
     return (
         cand
