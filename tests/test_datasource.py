@@ -1,0 +1,125 @@
+"""Native spark.read/write.format('zseq') DataSource: roundtrip, filter
+pushdown (Catalyst -> zone maps), column option, exactly-once commit."""
+
+import json
+import os
+
+import pytest
+
+from zseq import synth
+from zseq.datasource import register
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def ds_dir(registered, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ds") / "tokens")
+    df = synth.tokens_df_range(registered, 1000, partitions=4)
+    df.write.format("zseq").mode("overwrite").save(out)
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_then_read_roundtrip(registered, ds_dir):
+    src = synth.tokens_df_range(registered, 1000, partitions=4)
+    back = registered.read.format("zseq").load(ds_dir)
+    assert _rows(back) == _rows(src)
+
+
+def test_manifest_committed_exactly_once(ds_dir):
+    m = json.load(open(os.path.join(ds_dir, "manifest.json")))
+    assert m["mode"] == "datasource"
+    assert m["totals"]["rows"] == 1000
+    files = {f for f in os.listdir(ds_dir) if f.endswith(".zseq")}
+    assert files == {p["file"] for p in m["parts"]}
+    assert all("crc32" in p for p in m["parts"])
+
+
+def test_catalyst_filter_pushdown_matches(registered, ds_dir):
+    from zseq.synth import HEAVY_LEN
+
+    src = synth.tokens_df_range(registered, 1000, partitions=4)
+    got = registered.read.format("zseq").load(ds_dir) \
+        .filter(f"n_tok = {HEAVY_LEN}")
+    want = src.filter(f"n_tok = {HEAVY_LEN}")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+    # pushed-but-returned filters are still applied exactly by Spark
+    none = registered.read.format("zseq").load(ds_dir).filter("n_tok < 0")
+    assert none.count() == 0
+
+
+def test_pushdown_unit_prunes_blocks(registered, tmp_path_factory):
+    """pushFilters records the int predicate; the reader then prunes
+    blocks via zone maps (observable on the reader object directly).
+    Small blocks so each part has many zone maps; clustering groups the
+    heavy rows, so most blocks are provably empty for the predicate."""
+    from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+    from zseq.datasource import ZseqSourceReader
+    from zseq.synth import HEAVY_LEN
+
+    out = str(tmp_path_factory.mktemp("dsb") / "blocks")
+    synth.tokens_df_range(registered, 1000, partitions=2) \
+        .write.format("zseq").mode("overwrite") \
+        .option("batch_rows", "100").save(out)
+    r = ZseqSourceReader({"path": out})
+    leftover = list(r.pushFilters([
+        EqualTo(("n_tok",), HEAVY_LEN),
+        EqualTo(("source",), "web"),          # not int-kind: not pushed
+        StringStartsWith(("source",), "w"),   # unsupported type
+    ]))
+    assert len(leftover) == 3                 # everything returned to Spark
+    assert r._predicate == [("n_tok", "=", HEAVY_LEN)]
+    parts = r.partitions()
+    got_rows = sum(b.num_rows for p in parts for b in r.read(p))
+    # superset semantics: at least every matching row survives, but whole
+    # blocks were skipped (fewer rows than the full dataset)
+    assert 0 < got_rows < 1000
+
+
+def test_columns_option_prunes_schema(registered, ds_dir):
+    df = registered.read.format("zseq").option("columns", "doc_id,n_tok") \
+        .load(ds_dir)
+    assert df.columns == ["doc_id", "n_tok"]
+    assert df.count() == 1000
+
+
+def test_append_mode_refused(registered, ds_dir):
+    src = synth.tokens_df_range(registered, 10, partitions=1)
+    with pytest.raises(Exception, match="append is not supported"):
+        src.write.format("zseq").mode("append").save(ds_dir)
+
+
+def test_overwrite_removes_stale_parts(registered, tmp_path):
+    out = str(tmp_path / "ow")
+    synth.tokens_df_range(registered, 400, partitions=4) \
+        .write.format("zseq").mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".zseq")]) == 4
+    synth.tokens_df_range(registered, 100, partitions=2) \
+        .write.format("zseq").mode("overwrite").save(out)
+    files = [f for f in os.listdir(out) if f.endswith(".zseq")]
+    assert len(files) == 2
+    back = registered.read.format("zseq").load(out)
+    assert back.count() == 100
+
+
+def test_corrupt_part_refused_via_datasource(registered, tmp_path):
+    out = str(tmp_path / "cor")
+    synth.tokens_df_range(registered, 200, partitions=2) \
+        .write.format("zseq").mode("overwrite").save(out)
+    part = sorted(f for f in os.listdir(out) if f.endswith(".zseq"))[0]
+    p = os.path.join(out, part)
+    b = bytearray(open(p, "rb").read())
+    b[len(b) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(b))
+    with pytest.raises(Exception, match="crc32|corrupt"):
+        registered.read.format("zseq").load(out).count()

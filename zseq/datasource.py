@@ -1,0 +1,285 @@
+"""Native Spark DataSource: ``spark.read.format("zseq")`` and
+``df.write.format("zseq")``.
+
+The Spark-first integration of the .zseq format, built on the Python
+DataSource API (Spark 4.0) with filter pushdown (Spark 4.1):
+
+read
+    One InputPartition per committed part file (manifest-driven, so a
+    blob never splits and one task decodes one file — same plan shape as
+    ``zseq.decode``). Catalyst pushes comparison filters through
+    ``pushFilters()``; simple int comparisons become zone-map block
+    pruning inside the reader (a conservative superset — whole blocks are
+    skipped without decompression), and ALL filters are handed back to
+    Spark so exact row filtering still happens JVM-side: the parquet
+    model. Column pruning: ``.option("columns", "a,b")`` (the Python DS
+    API has no required-columns pushdown yet); pruned columns are seeked
+    past in the blob, never decompressed.
+
+write
+    Each task encodes its partition into one .zseq file (Arrow batches
+    straight in via ``DataSourceArrowWriter`` — no row conversion), the
+    driver commits ``manifest.json`` exactly once from the per-task
+    commit messages. Task files are written tmp-then-rename, so retries
+    are idempotent and ``abort()`` leaves no committed state — the same
+    exactly-once story as ``zseq.encode``.
+
+Usage::
+
+    from zseq.datasource import register
+    register(spark)                       # ships the package + registers
+    df.write.format("zseq").mode("overwrite").save(path)
+    spark.read.format("zseq").load(path).filter("n_tok = 17")
+
+Rebuilds the reference's convert entry point (zbra-cli main.rs:404-445)
+as a declarative Spark source/sink instead of a subcommand.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_PUSHABLE = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+@dataclass
+class ZseqPartition(InputPartition):
+    path: str
+    crc32: int | None
+
+
+@dataclass
+class ZseqCommit(WriterCommitMessage):
+    part: dict | None
+
+
+def _arrow_schema_from_manifest(m: dict):
+    import pyarrow as pa
+
+    return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema"])))
+
+
+def register(spark) -> None:
+    """Ship the package to executors and register the 'zseq' format.
+    Python-source filter pushdown is off by default in Spark 4.1 — turn
+    it on, else a reader implementing pushFilters() is refused."""
+    from .session import ship_package
+
+    ship_package(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ZseqDataSource)
+
+
+class ZseqDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "zseq"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("zseq: .load(path)/.save(path) is required")
+        return path
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from .encode import read_manifest
+
+        m = read_manifest(self._path())
+        if m is None:
+            raise FileNotFoundError(
+                f"{self._path()}/manifest.json missing — not a committed "
+                "zseq dataset")
+        schema = _arrow_schema_from_manifest(m)
+        cols = self.options.get("columns")
+        if cols:
+            keep = [c.strip() for c in cols.split(",") if c.strip()]
+            missing = set(keep) - set(schema.names)
+            if missing:
+                raise KeyError(f"zseq: unknown columns {sorted(missing)}")
+            schema = pa_select(schema, keep)
+        return from_arrow_schema(schema)
+
+    def reader(self, schema: StructType) -> "ZseqSourceReader":
+        return ZseqSourceReader(dict(self.options))
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> "ZseqSourceWriter":
+        return ZseqSourceWriter(dict(self.options), schema, overwrite)
+
+
+def pa_select(schema, keep: list[str]):
+    """Project an Arrow schema to ``keep`` in file order."""
+    import pyarrow as pa
+
+    sel = set(keep)
+    return pa.schema([schema.field(n) for n in schema.names if n in sel])
+
+
+class ZseqSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        from .encode import read_manifest
+
+        self._dir = options.get("path")
+        m = read_manifest(self._dir)
+        if m is None:
+            raise FileNotFoundError(
+                f"{self._dir}/manifest.json missing — not a committed "
+                "zseq dataset")
+        self._names = list(m["schema_names"])
+        cols = options.get("columns")
+        self._columns = ([c.strip() for c in cols.split(",") if c.strip()]
+                         if cols else None)
+        self._parts = [
+            (os.path.join(self._dir, p["file"]), p.get("crc32"))
+            for p in m.get("parts", [])
+        ]
+        # Zone maps exist for int-kind chunks (ints, timestamps, dates in
+        # their storage domain) — only those columns accept pushdown.
+        import pyarrow as pa
+
+        sch = _arrow_schema_from_manifest(m)
+        self._intish = {
+            f.name for f in sch
+            if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
+        }
+        self._predicate: list[tuple] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            if (op and len(f.attribute) == 1
+                    and f.attribute[0] in self._intish
+                    and isinstance(f.value, int)
+                    and not isinstance(f.value, bool)):
+                self._predicate.append((f.attribute[0], op, int(f.value)))
+        # Block pruning is a conservative superset — every filter is
+        # returned unhandled so Spark still applies it exactly.
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [ZseqPartition(p, c) for p, c in self._parts]
+
+    def read(self, partition: ZseqPartition):
+        import zlib
+
+        from .zseqfile import ZseqReader
+
+        with open(partition.path, "rb") as f:
+            content = f.read()
+        if partition.crc32 is not None \
+                and zlib.crc32(content) != partition.crc32:
+            raise ValueError(
+                f"{partition.path}: crc32 mismatch vs manifest — file is "
+                "corrupt or was modified after commit")
+        r = ZseqReader(content)
+        if list(r.schema.names) != self._names:
+            raise ValueError(
+                f"{partition.path}: schema {r.schema.names} != manifest "
+                f"{self._names}")
+        yield from r.batches(self._columns, self._predicate or None)
+
+
+class ZseqSourceWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .encode import read_manifest
+
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("zseq: .save(path) is required")
+        if not overwrite and read_manifest(self._dir) is not None:
+            raise ValueError(
+                "zseq: dataset already committed at this path — append is "
+                "not supported, use .mode('overwrite')")
+        self._overwrite = overwrite
+        lvl = options.get("zstd_level")
+        self._zstd = int(lvl) if lvl else None
+        if self._zstd is not None and not 1 <= self._zstd <= 22:
+            raise ValueError(f"zstd level must be in [1, 22]: {self._zstd}")
+        self._cluster = str(options.get("cluster", "true")).lower() != "false"
+        self._batch_rows = int(options.get("batch_rows", 1 << 16))
+        self._schema = to_arrow_schema(schema)
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, iterator: Iterator) -> ZseqCommit:
+        import time
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from .encode import _encode_table_to_file
+
+        t0 = time.time()
+        batches = list(iterator)
+        if not batches:
+            return ZseqCommit(None)
+        pid = TaskContext.get().partitionId()
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        row = _encode_table_to_file(
+            tbl, self._dir, pid, self._schema, self._cluster,
+            self._batch_rows, t0, self._zstd)
+        return ZseqCommit(row)
+
+    def commit(self, messages) -> None:
+        from .encode import _atomic_write_json
+
+        parts = [m.part for m in messages if m is not None and m.part]
+        parts.sort(key=lambda p: p["part_id"])
+        if self._overwrite:
+            keep = {p["file"] for p in parts}
+            for f in os.listdir(self._dir):
+                if f.endswith(".zseq") and f not in keep:
+                    os.remove(os.path.join(self._dir, f))
+        manifest = {
+            "format": "zseq/1",
+            "mode": "datasource",
+            "partitions": len(parts),
+            "partition_col": None,
+            "zstd_level": self._zstd or 3,
+            "reversed_cols": [],
+            "schema": self._schema.serialize().to_pybytes().hex(),
+            "schema_names": self._schema.names,
+            "parts": parts,
+            "totals": {
+                "rows": sum(p["rows"] for p in parts),
+                "list_elems": sum(p["list_elems"] for p in parts),
+                "raw_bytes": sum(p["raw_bytes"] for p in parts),
+                "enc_bytes": sum(p["enc_bytes"] for p in parts),
+            },
+        }
+        _atomic_write_json(os.path.join(self._dir, "manifest.json"),
+                           manifest)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.part:
+                try:
+                    os.remove(os.path.join(self._dir, m.part["file"]))
+                except OSError:
+                    pass
