@@ -123,3 +123,43 @@ def test_corrupt_part_refused_via_datasource(registered, tmp_path):
     open(p, "wb").write(bytes(b))
     with pytest.raises(Exception, match="crc32|corrupt"):
         registered.read.format("zseq").load(out).count()
+
+
+def test_stream_sink_writes_epochs(registered, tmp_path):
+    """df.writeStream.format('zseq'): each micro-batch commits one epoch
+    dir with an atomic manifest; decode_stream unions them."""
+    import pyarrow.parquet as pq
+
+    from zseq import streaming
+    from zseq.schema import TOKENS_SCHEMA
+
+    src, out, ckpt = (str(tmp_path / k) for k in ("src", "out", "ckpt"))
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(synth.tokens_table_arrow(400, start=0),
+                   os.path.join(src, "wave-0.parquet"))
+    stream = registered.readStream.schema(TOKENS_SCHEMA.to_spark()) \
+        .parquet(src)
+    q = (stream.writeStream.format("zseq")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start(out))
+    q.awaitTermination(120)
+    assert len(streaming.committed_epochs(out)) == 1
+
+    pq.write_table(synth.tokens_table_arrow(200, start=400),
+                   os.path.join(src, "wave-400.parquet"))
+    stream2 = registered.readStream.schema(TOKENS_SCHEMA.to_spark()) \
+        .parquet(src)
+    q2 = (stream2.writeStream.format("zseq")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True)
+          .start(out))
+    q2.awaitTermination(120)
+    assert len(streaming.committed_epochs(out)) == 2
+
+    back = streaming.decode_stream(registered, out)
+    assert back.count() == 600
+    got = sorted(r.doc_id for r in back.select("doc_id").collect())
+    assert got == sorted(f"doc_{i:08d}" for i in range(600))
+    # no staged leftovers
+    assert os.listdir(os.path.join(out, ".staging")) == []

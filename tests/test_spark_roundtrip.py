@@ -134,3 +134,16 @@ def test_encode_zstd_level_and_reversed_end_to_end(spark, tokens_df,
     import pytest as _pt
     with _pt.raises(ValueError, match="1, 22"):
         zenc.encode(tokens_df, str(tmp_path / "bad"), zstd_level=0)
+
+
+def test_schema_inference_without_manifest(spark, tokens_df, tmp_path):
+    """E7 (schema inference from striped data, zbra-cli main.rs:1114-1220):
+    every .zseq blob carries its exact Arrow schema in the header, so a
+    dataset whose manifest is lost still decodes with the right schema
+    (allow_partial) — inference is a header read, not a heuristic."""
+    out = str(tmp_path / "noman")
+    zenc.encode(tokens_df, out, partitions=2)
+    os.remove(os.path.join(out, "manifest.json"))
+    back = zdec.decode(spark, out, allow_partial=True)
+    assert back.schema == tokens_df.schema
+    assert back.count() == tokens_df.count()

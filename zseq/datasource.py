@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -130,6 +131,10 @@ class ZseqDataSource(DataSource):
     def writer(self, schema: StructType,
                overwrite: bool) -> "ZseqSourceWriter":
         return ZseqSourceWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "ZseqStreamWriter":
+        return ZseqStreamWriter(dict(self.options), schema)
 
 
 def pa_select(schema, keep: list[str]):
@@ -281,5 +286,103 @@ class ZseqSourceWriter(DataSourceArrowWriter):
             if m is not None and m.part:
                 try:
                     os.remove(os.path.join(self._dir, m.part["file"]))
+                except OSError:
+                    pass
+
+
+class ZseqStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: ``df.writeStream.format("zseq").start(path)``.
+
+    Same epoch layout as zseq.streaming (epoch-<id>/ part files +
+    manifest), but driven by the engine's streaming commit protocol
+    instead of foreachBatch: tasks stage their encoded part under
+    .staging/ (they do not know the batch id), and commit(batchId) moves
+    the staged files into the epoch directory and writes its manifest
+    atomically — a replayed epoch that already committed is a no-op
+    (exactly-once), abort removes the staged files.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("zseq: .start(path) is required")
+        lvl = options.get("zstd_level")
+        self._zstd = int(lvl) if lvl else None
+        self._cluster = str(options.get("cluster", "true")).lower() != "false"
+        self._batch_rows = int(options.get("batch_rows", 1 << 16))
+        self._schema = to_arrow_schema(schema)
+        self._staging = os.path.join(self._dir, ".staging")
+        os.makedirs(self._staging, exist_ok=True)
+
+    def write(self, iterator: Iterator) -> ZseqCommit:
+        import time
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from .encode import _encode_table_to_file
+
+        t0 = time.time()
+        batches = list(iterator)
+        if not batches:
+            return ZseqCommit(None)
+        # Task attempt id is unique across retries within the query run —
+        # the staged name can never collide; commit renumbers.
+        aid = int(TaskContext.get().taskAttemptId())
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        row = _encode_table_to_file(
+            tbl, self._staging, aid, self._schema, self._cluster,
+            self._batch_rows, t0, self._zstd)
+        return ZseqCommit(row)
+
+    def commit(self, messages, batchId: int) -> None:
+        from .encode import _atomic_write_json
+        from .streaming import epoch_dir
+
+        parts = [m.part for m in messages if m is not None and m.part]
+        parts.sort(key=lambda p: p["part_id"])
+        dest = epoch_dir(self._dir, batchId)
+        if os.path.exists(os.path.join(dest, "manifest.json")):
+            # replayed epoch: already committed — drop the staged files
+            for p in parts:
+                try:
+                    os.remove(os.path.join(self._staging, p["file"]))
+                except OSError:
+                    pass
+            return
+        os.makedirs(dest, exist_ok=True)
+        for i, p in enumerate(parts):
+            new = f"part-{i:05d}.zseq"
+            os.replace(os.path.join(self._staging, p["file"]),
+                       os.path.join(dest, new))
+            p["file"] = new
+            p["part_id"] = i
+        manifest = {
+            "format": "zseq/1",
+            "mode": "stream",
+            "epoch": int(batchId),
+            "partitions": len(parts),
+            "partition_col": None,
+            "zstd_level": self._zstd or 3,
+            "reversed_cols": [],
+            "schema": self._schema.serialize().to_pybytes().hex(),
+            "schema_names": self._schema.names,
+            "parts": parts,
+            "totals": {
+                "rows": sum(p["rows"] for p in parts),
+                "list_elems": sum(p["list_elems"] for p in parts),
+                "raw_bytes": sum(p["raw_bytes"] for p in parts),
+                "enc_bytes": sum(p["enc_bytes"] for p in parts),
+            },
+        }
+        _atomic_write_json(os.path.join(dest, "manifest.json"), manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.part:
+                try:
+                    os.remove(os.path.join(self._staging, m.part["file"]))
                 except OSError:
                     pass

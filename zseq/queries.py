@@ -519,6 +519,15 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_buckets(df, _EMB_DIM)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized dot >= 0.4 among
+    bucket-colocated pairs; unit-normalized embeddings)."""
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.embedding_near_dups(df, _EMB_DIM, bits=None, probes=1)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN with corpus-sized bits + Hamming-1 multi-probe. bits=None
     derives from the row count, so the Spark side and the static oracle
@@ -581,6 +590,7 @@ def queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_planted": q_dedup_simhash_planted,
+        "dedup_embedding_cosine": q_dedup_embedding,
         "sim_topk_bruteforce": q_sim_bruteforce,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -642,6 +652,7 @@ def oracle_sql() -> dict:
         # corpus below, where recall is structurally guaranteed.
         "dedup_minhash_planted": _dedup_minhash_planted_oracle(),
         "dedup_simhash_planted": _dedup_simhash_planted_oracle(),
+        "dedup_embedding_cosine": _dedup_embedding_oracle(),
         "sim_topk_bruteforce": _sim_bf_oracle(),
         "sim_lsh_buckets": _sim_buckets_oracle(),
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
@@ -680,6 +691,13 @@ def _dedup_simhash_planted_oracle() -> str:
 
 _EMB_DIM = 64    # driver testdata embeddings dimension
 _EMB_ROWS = 500  # embeddings row count at the driver's correctness sf (0.01)
+
+
+def _dedup_embedding_oracle() -> str:
+    from . import sim
+
+    return sim.embedding_near_dups_oracle_sql(
+        _EMB_DIM, bits=sim.bits_for(_EMB_ROWS), probes=1)
 
 
 def _sim_bf_oracle() -> str:

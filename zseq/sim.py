@@ -228,6 +228,63 @@ def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
     )
 
 
+def embedding_near_dups(df: DataFrame, dim: int, min_dot_q: int = 400_000,
+                        bits: int | None = None, probes: int = 1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs (the dedup brief's embedding-cosine
+    family): pairs co-located in an LSH bucket (with Hamming multi-probe)
+    whose exact quantized dot product >= min_dot_q. Embeddings are
+    assumed L2-normalized, so the quantized dot IS cosine x QUANT^2 and
+    the integer threshold is exact cross-engine.
+
+    Scale shape: the corpus is bucketed once; the self-join shuffles on
+    bucket with fan-out 1 + bits (+ C(bits,2) at probes=2) on the probe
+    side, bounded by bucket occupancy (bits_for keeps that ~constant at
+    any corpus size). Each qualifying pair appears exactly once: probe
+    masks are distinct and the a<b filter keeps one orientation."""
+    if bits is None:
+        bits = bits_for(df.count())
+    b = df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}", vec_col,
+        f"{bucket_expr(vec_col, dim, bits)} as bucket")
+    probe = ", ".join(
+        f"cast(bucket ^ {m} as bigint)" for m in _probe_masks(bits, probes))
+    a = b.selectExpr(f"{id_col} as doc_a", f"{vec_col} as va",
+                     f"explode(array({probe})) as bucket")
+    bb = b.selectExpr(f"{id_col} as doc_b", f"{vec_col} as vb", "bucket")
+    return (
+        a.join(bb, on="bucket")
+        .filter("doc_a < doc_b")
+        .selectExpr("doc_a", "doc_b", _qdot("va", "vb") + " as dot")
+        .filter(f"dot >= {min_dot_q}")
+        .selectExpr("doc_a", "doc_b", "cast(dot as bigint) as dot")
+    )
+
+
+def embedding_near_dups_oracle_sql(dim: int, min_dot_q: int = 400_000,
+                                   bits: int = SIM_BITS, probes: int = 1,
+                                   table: str = "embeddings",
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> str:
+    bx = bucket_expr(vec_col, dim, bits, dialect="duckdb")
+    dot = _qdot_duck("a.va", "bb.vb")
+    probe_list = ", ".join(
+        f"xor(bucket, {m})" for m in _probe_masks(bits, probes))
+    return f"""
+WITH b AS (SELECT cast({id_col} as bigint) as {id_col}, {vec_col},
+                  {bx} as bucket FROM {table}),
+     a AS (SELECT {id_col} as doc_a, {vec_col} as va,
+                  unnest([{probe_list}]) as bucket FROM b),
+     bb AS (SELECT {id_col} as doc_b, {vec_col} as vb, bucket FROM b),
+     pairs AS (
+       SELECT a.doc_a, bb.doc_b, {dot} as dot
+       FROM a JOIN bb USING (bucket) WHERE a.doc_a < bb.doc_b)
+SELECT doc_a, doc_b, cast(dot as bigint) as dot
+FROM pairs WHERE dot >= {min_dot_q}
+"""
+
+
 def lsh_topk_oracle_sql(dim: int, n_queries: int = 10, topk: int = 5,
                         bits: int = SIM_BITS, probes: int = 1,
                         table: str = "embeddings",

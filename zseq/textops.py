@@ -53,6 +53,14 @@ def quality_exprs(col: str = "text") -> dict[str, tuple[str, str]]:
             f"cast(floor(length(replace({col}, ' ', '')) * 100.0 / "
             f"greatest(len({w_d}), 1)) as bigint)",
         ),
+        # BPE-ish subword proxy: a letter run is one token, each digit one,
+        # each other non-space char one (the GPT-2 pre-tokenizer shape,
+        # restricted to ASCII classes so Java regex (Spark) and RE2
+        # (DuckDB) agree byte-for-byte)
+        "n_bpe_tokens": (
+            f"regexp_count({col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')",
+            f"len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))",
+        ),
         # type-token ratio x1000, floored
         "ttr_x1000": (
             f"cast(floor(size(array_distinct({w_s})) * 1000.0 / "
