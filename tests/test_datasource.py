@@ -163,3 +163,36 @@ def test_stream_sink_writes_epochs(registered, tmp_path):
     assert got == sorted(f"doc_{i:08d}" for i in range(600))
     # no staged leftovers
     assert os.listdir(os.path.join(out, ".staging")) == []
+
+
+def test_stream_source_tails_epochs(registered, tmp_path):
+    """spark.readStream.format('zseq') consumes committed epochs exactly
+    once across restarts of an availableNow query."""
+    from zseq import encode as zenc
+
+    out, ckpt = str(tmp_path / "zr"), str(tmp_path / "zrckpt")
+    from zseq.streaming import epoch_dir
+    zenc.encode(synth.tokens_df_range(registered, 300, partitions=2),
+                epoch_dir(out, 0), partitions=2)
+    zenc.encode(synth.tokens_df_range(registered, 200, partitions=2),
+                epoch_dir(out, 1), partitions=2)
+
+    sink = str(tmp_path / "zrsink")
+
+    def drain():
+        q = (registered.readStream.format("zseq").load(out)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return registered.read.parquet(sink)
+
+    assert drain().count() == 500
+
+    # a third epoch commits later: exactly-once — only IT is appended
+    zenc.encode(synth.tokens_df_range(registered, 100, partitions=1),
+                epoch_dir(out, 2), partitions=1)
+    got = drain()
+    # 500 from the first drain + exactly the 100 new rows — a re-consumed
+    # epoch would overshoot
+    assert got.count() == 600

@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -112,6 +113,13 @@ class ZseqDataSource(DataSource):
 
         m = read_manifest(self._path())
         if m is None:
+            # Streaming layout: schema from the first committed epoch.
+            from .streaming import committed_epochs
+
+            eps = committed_epochs(self._path())
+            if eps:
+                m = read_manifest(eps[0])
+        if m is None:
             raise FileNotFoundError(
                 f"{self._path()}/manifest.json missing — not a committed "
                 "zseq dataset")
@@ -135,6 +143,9 @@ class ZseqDataSource(DataSource):
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "ZseqStreamWriter":
         return ZseqStreamWriter(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> "ZseqStreamReader":
+        return ZseqStreamReader(dict(self.options))
 
 
 def pa_select(schema, keep: list[str]):
@@ -386,3 +397,63 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(os.path.join(self._staging, m.part["file"]))
                 except OSError:
                     pass
+
+
+class ZseqStreamReader(DataSourceStreamReader):
+    """Streaming source: ``spark.readStream.format("zseq").load(path)``
+    tails the committed epochs under ``path`` (the layout both the
+    foreachBatch path and the zseq stream sink produce).
+
+    Offset = count of committed epoch directories consumed. An epoch's
+    manifest write is atomic, so an epoch is either fully visible or
+    invisible — the offset can never split an epoch. Each micro-batch
+    gets one InputPartition per part file of the newly committed epochs
+    (no splits, crc-verified), so the read parallelism equals the part
+    count exactly like the batch reader."""
+
+    def __init__(self, options: dict):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("zseq: .load(path) is required")
+
+    def initialOffset(self) -> dict:
+        return {"epochs": 0}
+
+    def latestOffset(self) -> dict:
+        from .streaming import committed_epochs
+
+        return {"epochs": len(committed_epochs(self._dir))}
+
+    def partitions(self, start: dict, end: dict):
+        from .encode import read_manifest
+        from .streaming import committed_epochs
+
+        eps = committed_epochs(self._dir)[start["epochs"]:end["epochs"]]
+        parts = []
+        for d in eps:
+            m = read_manifest(d)
+            for p in (m or {}).get("parts", []):
+                parts.append(ZseqPartition(
+                    os.path.join(d, p["file"]), p.get("crc32")))
+        # an epoch can be empty (empty micro-batch) — Spark still needs
+        # at least one partition to advance the offset
+        return parts or [ZseqPartition("", None)]
+
+    def read(self, partition: ZseqPartition):
+        import zlib
+
+        from .zseqfile import ZseqReader
+
+        if not partition.path:
+            return
+        with open(partition.path, "rb") as f:
+            content = f.read()
+        if partition.crc32 is not None \
+                and zlib.crc32(content) != partition.crc32:
+            raise ValueError(
+                f"{partition.path}: crc32 mismatch vs manifest — file is "
+                "corrupt or was modified after commit")
+        yield from ZseqReader(content).batches()
+
+    def commit(self, end: dict) -> None:
+        pass

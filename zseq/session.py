@@ -42,6 +42,17 @@ def get_spark(app: str = "zseq", master: str | None = None,
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     sp = shuffle_partitions or cpus
+    # Streaming Python-DataSource runners (offset management) are spawned
+    # by the JVM with the JVM's env, NOT with the task-worker pyFiles
+    # bootstrap — addPyFile alone leaves them unable to import zseq when
+    # the driver cwd is outside the repo. Exporting PYTHONPATH before the
+    # JVM starts covers them (driver-node processes only).
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else ""))
     spark = (
         SparkSession.builder.appName(app)
         .master(master)
