@@ -37,3 +37,21 @@ def test_info(enc_dir, capsys):
     view = json.loads(capsys.readouterr().out)
     assert view["format"] == "zseq/1"
     assert view["totals"]["rows"] == 500
+
+
+def test_compact_epochs(spark, tmp_path, capsys):
+    """Streaming epochs -> one compacted dataset with equal contents."""
+    from zseq import decode as zdec
+    from zseq.streaming import epoch_dir
+
+    root = str(tmp_path / "stream")
+    zenc.encode(synth.tokens_df_range(spark, 300, partitions=3),
+                epoch_dir(root, 0), partitions=3)
+    zenc.encode(synth.tokens_df_range(spark, 200, partitions=3),
+                epoch_dir(root, 1), partitions=3)
+    out = str(tmp_path / "compacted")
+    assert main(["compact", root, out, "--partitions", "2"]) == 0
+    view = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert view["rows"] == 500 and view["epochs_in"] == 2
+    assert view["parts"] == 2
+    assert zdec.decode(spark, out).count() == 500

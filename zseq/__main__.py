@@ -6,6 +6,8 @@
     python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
     python -m zseq info    ENC_DIR
     python -m zseq dump    ENC_DIR [--part K --limit N]   (striped debug view)
+    python -m zseq compact STREAM_DIR OUT_DIR             (merge epochs;
+                           small-file GC for the streaming sink)
     python -m zseq verify  INPUT_PARQUET_DIR ENC_DIR      (bit-identical gate,
                            distributed exceptAll — no driver collect)
     python -m zseq synth   OUT_PARQUET_DIR --docs N       (deterministic corpus)
@@ -95,6 +97,28 @@ def cmd_verify(args) -> int:
     return 0 if ok else 2
 
 
+def cmd_compact(args) -> int:
+    """Compact committed streaming epochs into one dataset: the standard
+    small-file GC for a long-running streaming sink (epoch part files
+    merge into ``--partitions`` size-uniform parts through the hash
+    encoder, which is the mode whose bucket assignment is deterministic
+    and resumable)."""
+    spark = _spark(args)
+    from . import encode as zenc
+    from . import streaming
+
+    df = streaming.decode_stream(spark, args.input)
+    res = zenc.encode(
+        df, args.out, mode="hash",
+        partitions=args.partitions
+        or spark.sparkContext.defaultParallelism)
+    print(json.dumps(res.manifest["totals"]
+                     | {"parts": len(res.parts),
+                        "epochs_in": len(
+                            streaming.committed_epochs(args.input))}))
+    return 0
+
+
 def cmd_dump(args) -> int:
     """E6: the striped debug view (zbra-cli main.rs:744-1112) — decoded
     per-column JSON dump of one part file, with the codec chosen for each
@@ -182,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--key", default=None,
                    help="deprecated, ignored (verify is key-free now)")
     v.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("compact")
+    c.add_argument("input")
+    c.add_argument("out")
+    c.add_argument("--partitions", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     du = sub.add_parser("dump")
     du.add_argument("input")
