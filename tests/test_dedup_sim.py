@@ -196,3 +196,47 @@ def test_lsh_topk_recall_on_driver_embeddings(spark):
     got = {(r.query_id, r.neighbor_id) for r in ann}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
+
+
+def test_lsh_max_bucket_drops_hot_cliques(spark):
+    """Hot-bucket guard: a 20-doc identical clique floods every band
+    bucket; max_bucket drops those buckets before the quadratic join
+    while small buckets (the planted pair) survive."""
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing")
+            for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs)
+    full = {(r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in dedup.lsh_candidate_pairs(
+                  sigs, max_bucket=10).collect()}
+    assert (0, 1) in full and (100, 101) in full
+    assert capped == {(100, 101)}
+    # end-to-end through minhash_dedup
+    out = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_dedup(docs, min_num=1, min_den=2,
+                                        max_bucket=10).collect()}
+    assert out == {(100, 101)}
+
+
+def test_ngram_max_doc_freq_drops_boilerplate(spark):
+    """df-capping: boilerplate shingles shared by every doc stop
+    producing quadratic pairs; rare-shingle near-dups still pair."""
+    boiler = "common boiler plate text here"
+    rows = [(i, f"{boiler} uniq{i}a uniq{i}b uniq{i}c") for i in range(10)]
+    rows += [(100, f"{boiler} same same2 same3"),
+             (101, f"{boiler} same same2 same3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, min_num=1, min_den=5).collect()}
+    assert len(full) == 66  # all 12 docs pair through the boilerplate
+    capped = {(r.doc_a, r.doc_b): (r.i_cnt, r.u_cnt)
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, min_num=1, min_den=5, max_doc_freq=3).collect()}
+    assert set(capped) == {(100, 101)}
+    i, u = capped[(100, 101)]
+    assert i == u  # rare-shingle projections identical

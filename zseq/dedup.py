@@ -68,11 +68,33 @@ def _shingle_table(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, col: str = "text", k: int = 3,
-                        min_num: int = 1, min_den: int = 5) -> DataFrame:
+                        min_num: int = 1, min_den: int = 5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """All pairs with Jaccard >= min_num/min_den over distinct word
     k-grams, computed exactly. Integer arithmetic only (cross-multiplied
-    threshold), so the DuckDB oracle matches bit-for-bit."""
-    sh = _shingle_table(df, col, k)
+    threshold), so the DuckDB oracle matches bit-for-bit.
+
+    ``max_doc_freq`` is the hot-shingle guard for the quadratic self-
+    join: a shingle present in n docs contributes n^2/2 join rows, and
+    boilerplate shingles (headers, license text) appear in millions of
+    docs. When set, shingles with document frequency > max_doc_freq are
+    dropped BEFORE the join and Jaccard is computed over each document's
+    *rare-shingle projection* (n_sh counts kept shingles, so the metric
+    stays internally consistent). This is the standard df-capping
+    approximation; leave None for the exact oracle-checked kernel."""
+    if max_doc_freq is not None:
+        sh_s, _ = shingle_exprs(col, k)
+        ex = (df.selectExpr("cast(doc_id as bigint) as doc_id",
+                            f"array_distinct({sh_s}) as sh")
+              .selectExpr("doc_id", "explode(sh) as shingle"))
+        keep = (ex.groupBy("shingle").count()
+                .filter(F.col("count") <= max_doc_freq).select("shingle"))
+        kept = ex.join(keep, on="shingle", how="left_semi")
+        n = kept.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("n_sh"))
+        sh = kept.join(n, on="doc_id").select("doc_id", "n_sh", "shingle")
+    else:
+        sh = _shingle_table(df, col, k)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -129,9 +151,19 @@ def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
-    Shuffle key = (band, hash(band slice)): the only join at corpus scale."""
+    Shuffle key = (band, hash(band slice)): the only join at corpus scale.
+
+    ``max_bucket`` is the hot-bucket guard for that join: a bucket of n
+    docs yields n^2/2 candidate pairs, and real corpora have giant
+    boilerplate cliques, so at 10^12 rows one hot bucket can dominate
+    the whole job. Buckets larger than max_bucket are dropped BEFORE the
+    self-join (one map-side-combinable count + semi-join). The trade is
+    explicit and standard: members of a dropped bucket are near-exact
+    duplicate cliques, which `exact_groups` already collapses for a
+    linear price — LSH only needs to find the non-identical tail."""
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -144,6 +176,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
             for b in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        keep = (banded.groupBy("band", "bucket").count()
+                .filter(F.col("count") <= max_bucket)
+                .select("band", "bucket"))
+        banded = banded.join(keep, on=["band", "bucket"], how="left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -157,7 +194,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 
 def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
                   num_hashes: int = 64, bands: int = 16,
-                  min_num: int = 1, min_den: int = 5) -> DataFrame:
+                  min_num: int = 1, min_den: int = 5,
+                  max_bucket: int | None = None) -> DataFrame:
     """Candidates from LSH, verified by exact Jaccard — and ONLY candidate
     pairs pay verification. The corpus-scale plan is: one banded equi-join
     over the full corpus (candidate generation), then a semi-join that
@@ -173,7 +211,8 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
     # the full-corpus banded join per reference — localCheckpoint makes
     # it compute exactly once (its size is the LSH output: bounded by
     # bucket occupancy, tiny next to the corpus).
-    cand = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(False)
+    cand = lsh_candidate_pairs(sigs, bands, rows,
+                               max_bucket=max_bucket).localCheckpoint(False)
     # Shingle arrays only for docs that appear in some candidate pair.
     ids = (cand.selectExpr("doc_a as doc_id")
            .union(cand.selectExpr("doc_b as doc_id")).distinct())
