@@ -72,3 +72,48 @@ def test_replayed_epoch_is_noop(spark, dirs):
     after = os.path.getmtime(os.path.join(d, "manifest.json"))
     assert before == after
     assert streaming.decode_stream(spark, dirs["out"]).count() == 200
+
+
+def test_stream_dedup_exactly_once_across_batches(spark, dirs):
+    """applyInPandasWithState dedup: a text seen in epoch 0 is suppressed
+    in epoch 1; each distinct fingerprint is emitted exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src, sink, ckpt = dirs["src"], dirs["out"], dirs["ckpt"]
+    os.makedirs(src, exist_ok=True)
+
+    def wave(name, rows):
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(src, name))
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(src)
+        out = streaming.stream_dedup(stream)
+
+        def write(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (out.writeStream.outputMode("update").foreachBatch(write)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    wave("w0.parquet", [(1, "alpha beta"), (2, "gamma delta"),
+                        (3, "alpha beta")])
+    drain()
+    got = {(r.doc_id, r.text)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "alpha beta"), (2, "gamma delta")}
+
+    # second wave: one replayed text, one new
+    wave("w1.parquet", [(10, "alpha beta"), (11, "epsilon zeta")])
+    drain()
+    got = {(r.doc_id, r.text)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "alpha beta"), (2, "gamma delta"),
+                   (11, "epsilon zeta")}

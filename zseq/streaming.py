@@ -71,6 +71,44 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint: str,
     return writer.start()
 
 
+def stream_dedup(stream_df: DataFrame, col: str = "text",
+                 key: str = "doc_id") -> DataFrame:
+    """Cross-batch streaming exact dedup: emit each distinct (normalized)
+    text exactly once over the stream's lifetime — the first row seen for
+    its fingerprint (min ``key`` within a batch for determinism).
+
+    This is the custom-stateful-operator pattern
+    (``applyInPandasWithState``): state is keyed on the md5 fingerprint
+    and holds a single 'seen' flag, so state size is one tiny row per
+    distinct document ever seen — the minimum any exactly-once dedup can
+    hold — and it shuffles once on the fingerprint, the same key the
+    batch ``exact_groups`` uses. Replays are idempotent because state
+    lives in the checkpoint."""
+    import pandas as pd
+
+    from .textops import fingerprint_exprs
+
+    fp_s, _ = fingerprint_exprs(col)
+    cols = stream_df.columns
+    with_fp = stream_df.selectExpr(*cols, f"{fp_s} as fingerprint")
+    out_type = with_fp.schema
+
+    def fn(key_tuple, pdfs, state):
+        if state.exists:
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        state.update((True,))
+        first = batch.sort_values(key).head(1)
+        yield first
+
+    return (
+        with_fp.groupBy("fingerprint")
+        .applyInPandasWithState(
+            fn, out_type, "seen boolean", "update",
+            "NoTimeout")
+    )
+
+
 def decode_stream(spark: SparkSession, out_dir: str) -> DataFrame:
     """All committed epochs as one DataFrame."""
     from . import decode as zdec
