@@ -521,21 +521,26 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (quantized dot >= 0.4 among
-    bucket-colocated pairs; unit-normalized embeddings)."""
+    bucket-colocated pairs; unit-normalized embeddings). bits is PINNED
+    (not auto-sized) so the static oracle SQL matches at every sf;
+    bits=None auto-sizing is gated separately by the pytest recall
+    tests."""
     from . import sim
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.embedding_near_dups(df, _EMB_DIM, bits=None, probes=1)
+    return sim.embedding_near_dups(
+        df, _EMB_DIM, bits=sim.bits_for(_EMB_ROWS), probes=1)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN with corpus-sized bits + Hamming-1 multi-probe. bits=None
-    derives from the row count, so the Spark side and the static oracle
-    (built for the driver's sf0.01 row count) agree."""
+    """ANN with Hamming-2 multi-probe. bits is PINNED (not auto-sized)
+    so the static oracle SQL matches at every sf; bits=None auto-sizing
+    is gated separately by the pytest recall tests."""
     from . import sim
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.lsh_topk(df, _EMB_DIM, bits=None, probes=2)
+    return sim.lsh_topk(df, _EMB_DIM, bits=sim.bits_for(_EMB_ROWS),
+                        probes=2)
 
 
 # ---------------------------------------------------------------------------
