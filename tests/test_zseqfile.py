@@ -111,3 +111,77 @@ def test_reversed_marker_roundtrip():
     r2 = zseqfile.ZseqReader(blob)
     list(r2.batches(columns=["doc_id"], predicate=[("n_tok", ">", 10**9)]))
     assert r2.blocks_skipped >= 1
+
+
+# ---------------------------------------------------------------------------
+# Whole-table property test: one table mixing every column kind the format
+# supports (ints, doubles, strings, bools, lists, structs, maps, decimals,
+# timestamps, enum) must roundtrip bit-exactly for arbitrary values.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+def _mixed_table(rows):
+    import decimal
+
+    import numpy as np
+
+    n = len(rows)
+    ut = pa.union([pa.field("i", pa.int64()), pa.field("s", pa.string())],
+                  mode="dense", type_codes=[0, 1])
+    codes, offs, ci, cs = [], [], [], []
+    for r in rows:
+        if r["ev"] % 2 == 0:
+            codes.append(0); offs.append(len(ci)); ci.append(r["ev"])
+        else:
+            codes.append(1); offs.append(len(cs)); cs.append(str(r["ev"]))
+    enum = pa.UnionArray.from_dense(
+        pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(ci, pa.int64()), pa.array(cs, pa.string())],
+        field_names=["i", "s"], type_codes=[0, 1])
+    return pa.table({
+        "i64": pa.array([r["i64"] for r in rows], pa.int64()),
+        "f64": pa.array([r["f64"] for r in rows], pa.float64()),
+        "txt": pa.array([r["txt"] for r in rows], pa.string()),
+        "flag": pa.array([r["flag"] for r in rows], pa.bool_()),
+        "arr": pa.array([r["arr"] for r in rows],
+                        pa.list_(pa.int32())),
+        "st": pa.array([{"a": r["i64"], "b": r["txt"]} for r in rows],
+                       pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "mp": pa.array([[(r["txt"][:3], r["i64"])] if r["flag"] else []
+                        for r in rows],
+                       pa.map_(pa.string(), pa.int64())),
+        "dec": pa.array([decimal.Decimal(r["i64"] % 10**16) / 100
+                         for r in rows], pa.decimal128(18, 2)),
+        "e": enum,
+    })
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.lists(hst.fixed_dictionaries({
+    "i64": hst.integers(-2**63, 2**63 - 1),
+    "f64": hst.floats(allow_nan=True, allow_infinity=True),
+    "txt": hst.text(max_size=24),
+    "flag": hst.booleans(),
+    "arr": hst.lists(hst.integers(-2**31, 2**31 - 1), max_size=8),
+    "ev": hst.integers(0, 10**6),
+}), min_size=1, max_size=60))
+def test_mixed_kind_table_roundtrip(rows):
+    import numpy as np
+
+    tbl = _mixed_table(rows)
+    blob = zseqfile.encode_table(tbl)
+    out = zseqfile.decode_table(blob)
+    for name in tbl.column_names:
+        a = tbl.column(name).combine_chunks()
+        b = out.column(name).combine_chunks()
+        if name == "f64":
+            # Table.equals says NaN != NaN; the roundtrip contract is
+            # BIT-exact, so compare the float bit patterns.
+            av = a.to_numpy(zero_copy_only=False).view(np.int64)
+            bv = b.to_numpy(zero_copy_only=False).view(np.int64)
+            assert np.array_equal(av, bv), name
+        else:
+            assert a.equals(b), name
