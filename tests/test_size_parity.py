@@ -116,3 +116,28 @@ def test_e2e_compression_ratio_floor():
     tbl = synth.tokens_table_arrow(4000)
     blob = zseqfile.encode_table(tbl)
     assert tbl.nbytes / len(blob) > 1.5
+
+
+def test_enum_column_beats_reference():
+    """K_ENUM bytes <= the reference's Enum layout (binary.rs:332-344:
+    tag + default + compressed u32 tags + per-variant name/tag/column)
+    on a representative mixed-variant column."""
+    from zseq import column as C
+
+    n = 4000
+    codes = np.array([(i * 7) % 3 for i in range(n)], dtype=np.int8)
+    codes = np.where(codes == 2, 5, codes).astype(np.int8)  # tags 0,1,5
+    offs = np.zeros(n, np.int32)
+    for c in (0, 1, 5):
+        m = codes == c
+        offs[m] = np.arange(m.sum(), dtype=np.int32)
+    ints = pa.array(np.arange((codes == 0).sum(), dtype=np.int64) * 100)
+    strs = pa.array([f"ev_{i % 17}" for i in range((codes == 1).sum())])
+    dbls = pa.array(np.arange((codes == 5).sum()) * 0.25)
+    u = pa.UnionArray.from_dense(
+        pa.array(codes), pa.array(offs),
+        [ints, strs, dbls], field_names=["i", "s", "d"],
+        type_codes=[0, 1, 5])
+    ours = len(C.encode_column(u))
+    theirs = oracle.column_size(u)
+    assert ours <= theirs, (ours, theirs)

@@ -81,6 +81,24 @@ def struct_column_size(fields: dict[str, int]) -> int:
     return 1 + 1 + 4 + sum(4 + len(n.encode()) + s for n, s in fields.items())
 
 
+def enum_column_size(tags: np.ndarray,
+                     variants: list[tuple[str, int]]) -> int:
+    """Column::Enum (binary.rs:332-344): tag + default + compressed u32
+    tag array (widened to i64, binary.rs:666-669) + count u32 + per
+    variant (string name, u32 tag, column)."""
+    return (
+        1 + 1
+        + int_array_compressed_size(np.asarray(tags, dtype=np.int64))
+        + 4
+        + sum(4 + len(n.encode()) + 4 + s for n, s in variants)
+    )
+
+
+def reversed_column_size(inner_size: int) -> int:
+    """Column::Reversed (binary.rs:350-353): tag + inner column."""
+    return 1 + inner_size
+
+
 # ---------------------------------------------------------------------------
 # Arrow -> zbra mapping
 # ---------------------------------------------------------------------------
@@ -144,6 +162,22 @@ def column_size(arr: pa.Array) -> int:
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
         return array_column_size(lengths, column_size(arr.flatten()))
+    if pa.types.is_union(t):
+        if t.mode != "dense":
+            raise NotImplementedError("zbra oracle: sparse union")
+        n = len(arr)
+        codes = (np.frombuffer(arr.buffers()[1], np.int8,
+                               count=arr.offset + n)[arr.offset:]
+                 if n else np.zeros(0, np.int8))
+        offs = (np.frombuffer(arr.buffers()[2], np.int32,
+                              count=arr.offset + n)[arr.offset:]
+                if n else np.zeros(0, np.int32))
+        variants = []
+        for i in range(t.num_fields):
+            code = t.type_codes[i]
+            child = arr.field(i).take(pa.array(offs[codes == code]))
+            variants.append((t.field(i).name, column_size(child)))
+        return enum_column_size(codes, variants)
     raise NotImplementedError(f"zbra oracle: unsupported Arrow type {t}")
 
 
