@@ -196,3 +196,41 @@ def test_stream_source_tails_epochs(registered, tmp_path):
     # 500 from the first drain + exactly the 100 new rows — a re-consumed
     # epoch would overshoot
     assert got.count() == 600
+
+
+def test_pushdown_in_and_timestamp_literals(registered, tmp_path):
+    """In-lists and timestamp/date literals convert into the storage
+    domain for zone-map pruning; non-exact values are not pushed."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, In
+
+    from zseq.datasource import ZseqSourceReader
+    from zseq.synth import HEAVY_LEN
+
+    out = str(tmp_path / "tsd")
+    df = registered.range(0, 1000).selectExpr(
+        "id",
+        "timestamp_micros(cast(id * 1000000 as long)) as ts",
+        "cast(id % 50 as int) as small")
+    df.write.format("zseq").mode("overwrite") \
+        .option("batch_rows", "100").save(out)
+
+    r = ZseqSourceReader({"path": out})
+    ts = datetime.datetime(1970, 1, 1, 0, 2, 0,
+                           tzinfo=datetime.timezone.utc)  # id == 120
+    leftover = list(r.pushFilters([
+        In(("id",), (3, 7, 990)),
+        EqualTo(("ts",), ts),
+    ]))
+    assert len(leftover) == 2
+    assert ("id", "in", (3, 7, 990)) in r._predicate
+    assert ("ts", "=", 120_000_000) in r._predicate
+
+    # end-to-end: IN filter through Catalyst matches the exact result
+    got = registered.read.format("zseq").load(out) \
+        .filter("id in (3, 7, 990)")
+    assert sorted(row.id for row in got.collect()) == [3, 7, 990]
+    ts_got = registered.read.format("zseq").load(out) \
+        .filter("ts = timestamp'1970-01-01 00:02:00'")
+    assert [row.id for row in ts_got.collect()] == [120]

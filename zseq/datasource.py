@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -179,20 +180,63 @@ class ZseqSourceReader(DataSourceReader):
         import pyarrow as pa
 
         sch = _arrow_schema_from_manifest(m)
-        self._intish = {
-            f.name for f in sch
+        self._pushtypes = {
+            f.name: f.type for f in sch
             if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
         }
         self._predicate: list[tuple] = []
 
+    def _storage_int(self, col: str, value) -> int | None:
+        """Catalyst literal -> the column's int storage domain (epoch
+        micros/nanos/millis/seconds for timestamps, epoch days for
+        dates), or None when the value is not exactly representable
+        (pruning must stay conservative, so we simply don't push)."""
+        import datetime
+
+        import pyarrow as pa
+
+        t = self._pushtypes.get(col)
+        if t is None or isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value if pa.types.is_integer(t) else None
+        if isinstance(value, datetime.datetime) and pa.types.is_timestamp(t):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=datetime.timezone.utc)
+            us = (value - datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc)) \
+                // datetime.timedelta(microseconds=1)
+            scale = {"s": -1_000_000, "ms": -1_000, "us": 1, "ns": 1_000}
+            k = scale.get(t.unit)
+            if k is None:
+                return None
+            if k > 0:
+                return us * k
+            if us % (-k):
+                return None  # not exactly representable in storage unit
+            return us // (-k)
+        if isinstance(value, datetime.date) \
+                and not isinstance(value, datetime.datetime) \
+                and pa.types.is_date32(t):
+            return (value - datetime.date(1970, 1, 1)).days
+        return None
+
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         for f in filters:
+            if len(getattr(f, "attribute", ())) != 1:
+                continue
+            col = f.attribute[0]
+            if isinstance(f, In):
+                vals = [self._storage_int(col, v) for v in f.value]
+                if vals and all(v is not None for v in vals):
+                    self._predicate.append((col, "in", tuple(vals)))
+                continue
             op = _PUSHABLE.get(type(f))
-            if (op and len(f.attribute) == 1
-                    and f.attribute[0] in self._intish
-                    and isinstance(f.value, int)
-                    and not isinstance(f.value, bool)):
-                self._predicate.append((f.attribute[0], op, int(f.value)))
+            if op is None:
+                continue
+            v = self._storage_int(col, f.value)
+            if v is not None:
+                self._predicate.append((col, op, v))
         # Block pruning is a conservative superset — every filter is
         # returned unhandled so Spark still applies it exactly.
         return filters

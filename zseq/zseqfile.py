@@ -221,6 +221,8 @@ _OPS = {
     "<=": lambda lo, hi, v: lo <= v,
     "=": lambda lo, hi, v: lo <= v <= hi,
     "!=": lambda lo, hi, v: not (lo == hi == v),
+    # IN-list: the block can match iff any member falls in [lo, hi]
+    "in": lambda lo, hi, v: any(lo <= x <= hi for x in v),
 }
 
 
@@ -232,7 +234,8 @@ def _block_provably_empty(predicate, zonemaps) -> bool:
             continue  # no stats -> can't prune on this conjunct
         if op not in _OPS:
             raise ValueError(f"zseq: unsupported predicate op {op!r}")
-        if not _OPS[op](zm[0], zm[1], int(value)):
+        v = tuple(int(x) for x in value) if op == "in" else int(value)
+        if not _OPS[op](zm[0], zm[1], v):
             return True
     return False
 
