@@ -55,3 +55,13 @@ def test_compact_epochs(spark, tmp_path, capsys):
     assert view["rows"] == 500 and view["epochs_in"] == 2
     assert view["parts"] == 2
     assert zdec.decode(spark, out).count() == 500
+
+
+def test_info_reports_per_column_bytes(enc_dir, capsys):
+    assert main(["info", enc_dir]) == 0
+    view = json.loads(capsys.readouterr().out)
+    cb = view["col_bytes"]
+    assert set(cb) == {"doc_id", "tokens", "n_tok", "source"}
+    assert all(v > 0 for v in cb.values())
+    # per-column bytes account for the whole body (blocks minus framing)
+    assert sum(cb.values()) <= view["totals"]["enc_bytes"]

@@ -51,7 +51,10 @@ def cmd_decode(args) -> int:
     spark = _spark(args)
     from . import decode as zdec
 
-    df = zdec.decode(spark, args.input, allow_partial=args.allow_partial)
+    cols = [c.strip() for c in args.columns.split(",")] \
+        if args.columns else None
+    df = zdec.decode(spark, args.input, allow_partial=args.allow_partial,
+                     columns=cols)
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                       "out": args.out}))
@@ -65,6 +68,10 @@ def cmd_info(args) -> int:
     if m is None:
         print(f"error: no manifest.json in {args.input}", file=sys.stderr)
         return 1
+    col_bytes: dict[str, int] = {}
+    for p in m.get("parts", []):
+        for k, v in json.loads(p.get("col_bytes", "{}")).items():
+            col_bytes[k] = col_bytes.get(k, 0) + v
     view = {
         "format": m["format"], "mode": m.get("mode"),
         "partitions": m["partitions"], "schema": m["schema_names"],
@@ -72,6 +79,8 @@ def cmd_info(args) -> int:
         "ratio": round(m["totals"]["raw_bytes"]
                        / max(1, m["totals"]["enc_bytes"]), 3),
         "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
+        "col_bytes": dict(sorted(col_bytes.items(),
+                                 key=lambda kv: -kv[1])),
     }
     print(json.dumps(view, indent=2))
     return 0
@@ -194,6 +203,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("input")
     d.add_argument("out")
     d.add_argument("--allow-partial", action="store_true")
+    d.add_argument("--columns", default=None,
+                   help="comma-separated projection pushed into the blob "
+                        "reader (unlisted columns are never decompressed)")
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("info")

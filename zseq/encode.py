@@ -45,14 +45,16 @@ from .zseqfile import ZseqWriter
 
 METRICS_SCHEMA = (
     "part_id int, file string, rows long, list_elems long, raw_bytes long, "
-    "enc_bytes long, wall_sec double, codecs string, crc32 long"
+    "enc_bytes long, wall_sec double, codecs string, col_bytes string, "
+    "crc32 long"
 )
 
 _METRICS_PA = pa.schema([
     ("part_id", pa.int32()), ("file", pa.string()), ("rows", pa.int64()),
     ("list_elems", pa.int64()), ("raw_bytes", pa.int64()),
     ("enc_bytes", pa.int64()), ("wall_sec", pa.float64()),
-    ("codecs", pa.string()), ("crc32", pa.int64()),
+    ("codecs", pa.string()), ("col_bytes", pa.string()),
+    ("crc32", pa.int64()),
 ])
 
 
@@ -178,7 +180,8 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
         "part_id": part_id, "file": fname, "rows": tbl.num_rows,
         "list_elems": list_elems, "raw_bytes": raw_bytes,
         "enc_bytes": w.bytes_written, "wall_sec": time.time() - t0,
-        "codecs": json.dumps(w.codec_stats), "crc32": crc,
+        "codecs": json.dumps(w.codec_stats),
+        "col_bytes": json.dumps(w.col_bytes), "crc32": crc,
     }
 
 

@@ -52,6 +52,10 @@ class ZseqWriter:
         self.total_rows = 0
         self.bytes_written = 0
         self.codec_stats: dict[str, str] = {}
+        # Per-column encoded bytes (top-level fields, incl. their chunk
+        # length prefixes) — the lineage a 100 TB operator needs to see
+        # WHICH column is eating the budget.
+        self.col_bytes: dict[str, int] = {}
         mb = json.dumps(meta or {}).encode()
         sb = schema.serialize().to_pybytes()
         self._write(MAGIC)
@@ -79,6 +83,8 @@ class ZseqWriter:
                                           self.codec_stats, name)
             out.write(struct.pack("<I", len(chunk)))
             out.write(chunk)
+            self.col_bytes[name] = (
+                self.col_bytes.get(name, 0) + 4 + len(chunk))
         self._write(out.getvalue())
         self.total_rows += batch.num_rows
 
