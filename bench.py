@@ -48,7 +48,7 @@ BENCH_DOCS = int(os.environ.get("ZSEQ_BENCH_DOCS", "1500000"))
 # round-1 recorded a contended 15.2s local[4] encode vs 8.9s idle (the
 # local[1] run moved only 7%), flipping efficiency 0.91 -> 0.576.
 REPS_LO = int(os.environ.get("ZSEQ_BENCH_REPS", "3"))
-REPS_HI = int(os.environ.get("ZSEQ_BENCH_REPS_HI", "4"))
+REPS_HI = int(os.environ.get("ZSEQ_BENCH_REPS_HI", str(REPS_LO + 1)))
 
 
 def _session(cores: int):

@@ -65,3 +65,16 @@ def test_info_reports_per_column_bytes(enc_dir, capsys):
     assert all(v > 0 for v in cb.values())
     # per-column bytes account for the whole body (blocks minus framing)
     assert sum(cb.values()) <= view["totals"]["enc_bytes"]
+
+
+def test_verify_cli_handles_map_columns(spark, tmp_path):
+    """The distributed verify must survive map-typed columns (Spark
+    forbids set ops on maps; they compare as sorted entry lists)."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"c": 3}), (3, {})],
+        "k long, m map<string,int>")
+    src = str(tmp_path / "msrc")
+    enc = str(tmp_path / "menc")
+    df.write.mode("overwrite").parquet(src)
+    zenc.encode(spark.read.parquet(src), enc, partitions=2)
+    assert main(["verify", src, enc]) == 0

@@ -320,3 +320,21 @@ def test_enum_roundtrip_hypothesis(values):
     out, end = C.decode_column(memoryview(blob), 0, _enum_type(), len(u))
     assert end == len(blob)
     assert out.to_pylist() == u.to_pylist()
+
+
+def test_enum_decode_refuses_duplicate_variant():
+    """A corrupt chunk storing the same variant twice must fail with the
+    clean ValueError, not a pyarrow crash on a None child."""
+    import struct as _s
+    import numpy as np
+    import pyarrow as pa
+    from zseq import column as C
+    from zseq.codecs import intcodecs as IC
+
+    tseg = IC.encode_ints(np.array([0, 0], np.int64))
+    child = C.encode_column(pa.array([1, 2], pa.int64()), {}, "x")
+    var = (_s.pack("<b", 0) + _s.pack("<H", 1) + b"i"
+           + _s.pack("<I", len(child)) + child)
+    blob = _s.pack("<BB", C.K_ENUM, 0) + tseg + _s.pack("<H", 2) + var + var
+    with pytest.raises(ValueError, match="duplicate"):
+        C.decode_column(memoryview(blob), 0, _enum_type(), 2)

@@ -234,3 +234,24 @@ def test_pushdown_in_and_timestamp_literals(registered, tmp_path):
     ts_got = registered.read.format("zseq").load(out) \
         .filter("ts = timestamp'1970-01-01 00:02:00'")
     assert [row.id for row in ts_got.collect()] == [120]
+
+
+def test_stream_source_columns_option(registered, tmp_path):
+    """The 'columns' option must project the STREAMED batches too, not
+    just the declared schema."""
+    from zseq import encode as zenc
+    from zseq.streaming import epoch_dir
+
+    out, ckpt = str(tmp_path / "zc"), str(tmp_path / "zcckpt")
+    zenc.encode(synth.tokens_df_range(registered, 100, partitions=1),
+                epoch_dir(out, 0), partitions=1)
+    sink = str(tmp_path / "zcsink")
+    q = (registered.readStream.format("zseq")
+         .option("columns", "doc_id,n_tok").load(out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = registered.read.parquet(sink)
+    assert sorted(got.columns) == ["doc_id", "n_tok"]
+    assert got.count() == 100

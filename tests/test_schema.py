@@ -107,3 +107,22 @@ def test_merge_maps_double_epsilon(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="merge conflict"):
         S.merge_maps(a, c, "k").collect()
+
+
+def test_merge_maps_identical_inf_nan_not_conflict(spark):
+    """Identical Inf (and NaN) doubles are equal under Spark comparison
+    semantics and must merge without conflict (abs(Inf-Inf)=NaN would
+    otherwise poison the epsilon test)."""
+    a = spark.createDataFrame(
+        [(1, float("inf")), (2, float("nan"))], "k long, v double")
+    b = spark.createDataFrame(
+        [(1, float("inf")), (2, float("nan"))], "k long, v double")
+    out = S.merge_maps(a, b, "k").collect()
+    assert len(out) == 2
+    import math
+    vals = {r.k: r.v for r in out}
+    assert math.isinf(vals[1]) and math.isnan(vals[2])
+    c = spark.createDataFrame([(1, float("-inf"))], "k long, v double")
+    import pytest as _pt
+    with _pt.raises(Exception, match="merge conflict"):
+        S.merge_maps(a.filter("k = 1"), c, "k").collect()

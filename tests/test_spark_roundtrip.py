@@ -147,3 +147,19 @@ def test_schema_inference_without_manifest(spark, tokens_df, tmp_path):
     back = zdec.decode(spark, out, allow_partial=True)
     assert back.schema == tokens_df.schema
     assert back.count() == tokens_df.count()
+
+
+def test_zstd_level_does_not_leak_into_later_default_encodes(
+        spark, tokens_df, tmp_path):
+    """PySpark reuses daemon workers: a prior job's zstd level must not
+    bleed into a later default-level encode (encoded bytes must be
+    deterministic regardless of worker temperature)."""
+    a = zenc.encode(tokens_df, str(tmp_path / "a"), partitions=2)
+    zenc.encode(tokens_df, str(tmp_path / "b"), partitions=2,
+                zstd_level=22)
+    c = zenc.encode(tokens_df, str(tmp_path / "c"), partitions=2)
+    assert a.manifest["totals"]["enc_bytes"] \
+        == c.manifest["totals"]["enc_bytes"]
+    ca = {p["part_id"]: p["crc32"] for p in a.parts}
+    cc = {p["part_id"]: p["crc32"] for p in c.parts}
+    assert ca == cc

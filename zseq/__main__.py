@@ -93,10 +93,25 @@ def cmd_verify(args) -> int:
     collect, so it runs at any scale; the comparison is two hash
     aggregations over (all columns))."""
     spark = _spark(args)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     from . import decode as zdec
 
     src = spark.read.parquet(args.input)
     dec = zdec.decode(spark, args.enc).select(src.columns)
+
+    def comparable(df):
+        # Spark refuses set operations on map columns; a map compares as
+        # its sorted entry list (order-insensitive, content-exact).
+        out = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.MapType):
+                out = out.withColumn(
+                    f.name, F.array_sort(F.map_entries(F.col(f.name))))
+        return out
+
+    src, dec = comparable(src), comparable(dec)
     n_src = src.count()
     missing = src.exceptAll(dec).count()
     extra = dec.exceptAll(src).count()

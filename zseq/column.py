@@ -547,6 +547,9 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             if code not in want_codes:
                 raise ValueError(
                     f"enum: stored variant tag {code} not in target type")
+            if code in seen:
+                raise ValueError(
+                    f"enum: duplicate stored variant tag {code}")
             idx = want_codes[code]
             fld = typ.field(idx)
             if fld.name != name:

@@ -157,6 +157,21 @@ def pa_select(schema, keep: list[str]):
     return pa.schema([schema.field(n) for n in schema.names if n in sel])
 
 
+def _read_verified_blob(path: str, crc32: int | None):
+    """Open a part file, enforce the manifest crc, return its reader."""
+    import zlib
+
+    from .zseqfile import ZseqReader
+
+    with open(path, "rb") as f:
+        content = f.read()
+    if crc32 is not None and zlib.crc32(content) != crc32:
+        raise ValueError(
+            f"{path}: crc32 mismatch vs manifest — file is corrupt or "
+            "was modified after commit")
+    return ZseqReader(content)
+
+
 class ZseqSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         from .encode import read_manifest
@@ -245,18 +260,7 @@ class ZseqSourceReader(DataSourceReader):
         return [ZseqPartition(p, c) for p, c in self._parts]
 
     def read(self, partition: ZseqPartition):
-        import zlib
-
-        from .zseqfile import ZseqReader
-
-        with open(partition.path, "rb") as f:
-            content = f.read()
-        if partition.crc32 is not None \
-                and zlib.crc32(content) != partition.crc32:
-            raise ValueError(
-                f"{partition.path}: crc32 mismatch vs manifest — file is "
-                "corrupt or was modified after commit")
-        r = ZseqReader(content)
+        r = _read_verified_blob(partition.path, partition.crc32)
         if list(r.schema.names) != self._names:
             raise ValueError(
                 f"{partition.path}: schema {r.schema.names} != manifest "
@@ -307,7 +311,7 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         return ZseqCommit(row)
 
     def commit(self, messages) -> None:
-        from .encode import _atomic_write_json
+        from .encode import _atomic_write_json, build_manifest
 
         parts = [m.part for m in messages if m is not None and m.part]
         parts.sort(key=lambda p: p["part_id"])
@@ -316,23 +320,9 @@ class ZseqSourceWriter(DataSourceArrowWriter):
             for f in os.listdir(self._dir):
                 if f.endswith(".zseq") and f not in keep:
                     os.remove(os.path.join(self._dir, f))
-        manifest = {
-            "format": "zseq/1",
-            "mode": "datasource",
-            "partitions": len(parts),
-            "partition_col": None,
-            "zstd_level": self._zstd or 3,
-            "reversed_cols": [],
-            "schema": self._schema.serialize().to_pybytes().hex(),
-            "schema_names": self._schema.names,
-            "parts": parts,
-            "totals": {
-                "rows": sum(p["rows"] for p in parts),
-                "list_elems": sum(p["list_elems"] for p in parts),
-                "raw_bytes": sum(p["raw_bytes"] for p in parts),
-                "enc_bytes": sum(p["enc_bytes"] for p in parts),
-            },
-        }
+        manifest = build_manifest(
+            mode="datasource", partitions=len(parts),
+            arrow_schema=self._schema, parts=parts, zstd_level=self._zstd)
         _atomic_write_json(os.path.join(self._dir, "manifest.json"),
                            manifest)
 
@@ -393,7 +383,7 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         return ZseqCommit(row)
 
     def commit(self, messages, batchId: int) -> None:
-        from .encode import _atomic_write_json
+        from .encode import _atomic_write_json, build_manifest
         from .streaming import epoch_dir
 
         parts = [m.part for m in messages if m is not None and m.part]
@@ -406,6 +396,7 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(os.path.join(self._staging, p["file"]))
                 except OSError:
                     pass
+            self._gc_staging()
             return
         os.makedirs(dest, exist_ok=True)
         for i, p in enumerate(parts):
@@ -414,25 +405,30 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
                        os.path.join(dest, new))
             p["file"] = new
             p["part_id"] = i
-        manifest = {
-            "format": "zseq/1",
-            "mode": "stream",
-            "epoch": int(batchId),
-            "partitions": len(parts),
-            "partition_col": None,
-            "zstd_level": self._zstd or 3,
-            "reversed_cols": [],
-            "schema": self._schema.serialize().to_pybytes().hex(),
-            "schema_names": self._schema.names,
-            "parts": parts,
-            "totals": {
-                "rows": sum(p["rows"] for p in parts),
-                "list_elems": sum(p["list_elems"] for p in parts),
-                "raw_bytes": sum(p["raw_bytes"] for p in parts),
-                "enc_bytes": sum(p["enc_bytes"] for p in parts),
-            },
-        }
+        self._gc_staging()
+        manifest = build_manifest(
+            mode="stream", partitions=len(parts),
+            arrow_schema=self._schema, parts=parts, zstd_level=self._zstd,
+            extra={"epoch": int(batchId)})
         _atomic_write_json(os.path.join(dest, "manifest.json"), manifest)
+
+    def _gc_staging(self) -> None:
+        """Remove staged leftovers from dead/superseded task attempts.
+        Safe at commit time: the epoch's surviving files were just moved
+        out, every other staged file belongs to an attempt whose commit
+        message never arrived (its epoch is committed or aborted), and a
+        still-running zombie writes tmp-then-rename, so at worst its
+        orphan reappears and the NEXT commit collects it."""
+        try:
+            names = os.listdir(self._staging)
+        except OSError:
+            return
+        for f in names:
+            if f.endswith(".zseq"):
+                try:
+                    os.remove(os.path.join(self._staging, f))
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
@@ -459,6 +455,10 @@ class ZseqStreamReader(DataSourceStreamReader):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("zseq: .load(path) is required")
+        cols = options.get("columns")
+        # schema() applies this projection — the yielded batches must too
+        self._columns = ([c.strip() for c in cols.split(",") if c.strip()]
+                         if cols else None)
 
     def initialOffset(self) -> dict:
         return {"epochs": 0}
@@ -484,20 +484,10 @@ class ZseqStreamReader(DataSourceStreamReader):
         return parts or [ZseqPartition("", None)]
 
     def read(self, partition: ZseqPartition):
-        import zlib
-
-        from .zseqfile import ZseqReader
-
         if not partition.path:
             return
-        with open(partition.path, "rb") as f:
-            content = f.read()
-        if partition.crc32 is not None \
-                and zlib.crc32(content) != partition.crc32:
-            raise ValueError(
-                f"{partition.path}: crc32 mismatch vs manifest — file is "
-                "corrupt or was modified after commit")
-        yield from ZseqReader(content).batches()
+        r = _read_verified_blob(partition.path, partition.crc32)
+        yield from r.batches(self._columns)
 
     def commit(self, end: dict) -> None:
         pass

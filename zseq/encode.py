@@ -58,6 +58,36 @@ _METRICS_PA = pa.schema([
 ])
 
 
+def build_manifest(*, mode: str, partitions: int, arrow_schema: pa.Schema,
+                   parts: list[dict], partition_col: str | None = None,
+                   zstd_level: int | None = None,
+                   reversed_cols: list[str] | None = None,
+                   extra: dict | None = None) -> dict:
+    """The one manifest shape every writer commits (batch encode, parquet
+    fast path, DataSource batch + stream) — new fields thread through
+    here exactly once."""
+    m = {
+        "format": "zseq/1",
+        "mode": mode,
+        "partitions": partitions,
+        "partition_col": partition_col,
+        "zstd_level": zstd_level or 3,
+        "reversed_cols": reversed_cols or [],
+        "schema": arrow_schema.serialize().to_pybytes().hex(),
+        "schema_names": arrow_schema.names,
+        "parts": parts,
+        "totals": {
+            "rows": sum(p["rows"] for p in parts),
+            "list_elems": sum(p["list_elems"] for p in parts),
+            "raw_bytes": sum(p["raw_bytes"] for p in parts),
+            "enc_bytes": sum(p["enc_bytes"] for p in parts),
+        },
+    }
+    if extra:
+        m.update(extra)
+    return m
+
+
 @dataclass
 class EncodeResult:
     out_dir: str
@@ -148,10 +178,13 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
                           schema: pa.Schema, cluster: bool,
                           batch_rows: int, t0: float,
                           zstd_level: int | None = None) -> dict:
-    if zstd_level is not None:
-        from .codecs import bytescodecs as _BC
+    # ALWAYS set the level: PySpark reuses daemon workers across jobs
+    # (spark.python.worker.reuse), so a previous job's non-default level
+    # would otherwise leak into this job's "default" encode and break
+    # encoded-byte determinism.
+    from .codecs import bytescodecs as _BC
 
-        _BC.set_zstd_level(zstd_level)
+    _BC.set_zstd_level(zstd_level if zstd_level is not None else 3)
     raw_bytes = tbl.nbytes
     if cluster:
         order = _cluster_order(tbl)
@@ -339,23 +372,10 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
 
-    manifest = {
-        "format": "zseq/1",
-        "mode": mode,
-        "partitions": P if mode == "hash" else len(parts),
-        "partition_col": key,
-        "zstd_level": zstd_level or 3,
-        "reversed_cols": reversed_cols or [],
-        "schema": arrow_schema.serialize().to_pybytes().hex(),
-        "schema_names": arrow_schema.names,
-        "parts": parts,
-        "totals": {
-            "rows": sum(p["rows"] for p in parts),
-            "list_elems": sum(p["list_elems"] for p in parts),
-            "raw_bytes": sum(p["raw_bytes"] for p in parts),
-            "enc_bytes": sum(p["enc_bytes"] for p in parts),
-        },
-    }
+    manifest = build_manifest(
+        mode=mode, partitions=P if mode == "hash" else len(parts),
+        arrow_schema=arrow_schema, parts=parts, partition_col=key,
+        zstd_level=zstd_level, reversed_cols=reversed_cols)
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     return EncodeResult(out_dir, manifest, parts)
 
@@ -513,24 +533,10 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
                  .collect()]
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
-    manifest = {
-        "format": "zseq/1",
-        "mode": "files",
-        "partitions": len(files),
-        "partition_col": None,
-        "zstd_level": zstd_level or 3,
-        "reversed_cols": reversed_cols or [],
-        "input_files": files,
-        "schema": arrow_schema.serialize().to_pybytes().hex(),
-        "schema_names": arrow_schema.names,
-        "parts": parts,
-        "totals": {
-            "rows": sum(p["rows"] for p in parts),
-            "list_elems": sum(p["list_elems"] for p in parts),
-            "raw_bytes": sum(p["raw_bytes"] for p in parts),
-            "enc_bytes": sum(p["enc_bytes"] for p in parts),
-        },
-    }
+    manifest = build_manifest(
+        mode="files", partitions=len(files), arrow_schema=arrow_schema,
+        parts=parts, zstd_level=zstd_level, reversed_cols=reversed_cols,
+        extra={"input_files": files})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     return EncodeResult(out_dir, manifest, parts)
 

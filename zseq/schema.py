@@ -176,8 +176,14 @@ def merge_maps(a: DataFrame, b: DataFrame, key: str,
     for c in value_cols:
         l, r = F.col(c), F.col(f"__b_{c}")
         if resolve == "error":
-            differs = (F.abs(l - r) >= f64_eps) if c in double_cols \
-                else (l != r)
+            if c in double_cols:
+                # (l != r) is false for identical Inf/NaN under Spark's
+                # comparison semantics; the epsilon test alone would
+                # NaN-poison them into spurious conflicts (abs(Inf-Inf)
+                # is NaN and NaN orders above every number).
+                differs = (l != r) & ~(F.abs(l - r) < f64_eps)
+            else:
+                differs = l != r
             conflict = l.isNotNull() & r.isNotNull() & differs
             merged = F.when(
                 conflict,
