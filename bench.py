@@ -158,16 +158,29 @@ STAGES = {
 }
 
 
-def _run_stage(work: str, stage: str, arg: str = "") -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", stage,
-         work, arg],
-        capture_output=True, text=True, cwd=REPO, timeout=3000,
-    )
-    if out.returncode != 0:
+def _run_stage(work: str, stage: str, arg: str = "",
+               retries: int = 2) -> dict:
+    """One stage in its own subprocess. The shared host intermittently
+    signal-kills a python child (observed SIGSEGV/SIGKILL with empty
+    stderr during co-tenant memory-pressure windows; the same stage
+    passes standalone) — back off briefly and retry rather than aborting
+    a multi-minute bench for a transient kill."""
+    last = None
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage,
+             work, arg],
+            capture_output=True, text=True, cwd=REPO, timeout=3000,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last = out
+        sys.stderr.write(
+            f"bench stage {stage} attempt {attempt} rc={out.returncode}\n")
         sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"bench stage {stage} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+        time.sleep(5 * (attempt + 1))
+    raise RuntimeError(
+        f"bench stage {stage} failed (rc={last.returncode})")
 
 
 def main() -> None:
