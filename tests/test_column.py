@@ -338,3 +338,24 @@ def test_enum_decode_refuses_duplicate_variant():
     blob = _s.pack("<BB", C.K_ENUM, 0) + tseg + _s.pack("<H", 2) + var + var
     with pytest.raises(ValueError, match="duplicate"):
         C.decode_column(memoryview(blob), 0, _enum_type(), 2)
+
+
+def test_enum_decode_refuses_out_of_int8_tag():
+    """A stored tag outside int8 must raise, not alias into variant 0."""
+    import struct as _s
+    import numpy as np
+    import pyarrow as pa
+    from zseq import column as C
+    from zseq.codecs import intcodecs as IC
+
+    tseg = IC.encode_ints(np.array([256, 0], np.int64))
+    child = C.encode_column(pa.array([1, 2], pa.int64()), {}, "x")
+    var = (_s.pack("<b", 0) + _s.pack("<H", 1) + b"i"
+           + _s.pack("<I", len(child)) + child)
+    child_s = C.encode_column(pa.array(["a"], pa.string()), {}, "y")
+    var_s = (_s.pack("<b", 3) + _s.pack("<H", 1) + b"s"
+             + _s.pack("<I", len(child_s)) + child_s)
+    blob = (_s.pack("<BB", C.K_ENUM, 0) + tseg + _s.pack("<H", 2)
+            + var + var_s)
+    with pytest.raises(ValueError, match="int8"):
+        C.decode_column(memoryview(blob), 0, _enum_type(), 2)

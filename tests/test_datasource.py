@@ -255,3 +255,39 @@ def test_stream_source_columns_option(registered, tmp_path):
     got = registered.read.parquet(sink)
     assert sorted(got.columns) == ["doc_id", "n_tok"]
     assert got.count() == 100
+
+
+def test_batch_read_of_stream_layout_fails_helpfully(registered, tmp_path):
+    from zseq import encode as zenc
+    from zseq.streaming import epoch_dir
+
+    out = str(tmp_path / "slay")
+    zenc.encode(synth.tokens_df_range(registered, 50, partitions=1),
+                epoch_dir(out, 0), partitions=1)
+    with pytest.raises(Exception, match="streaming-epoch layout"):
+        registered.read.format("zseq").load(out).count()
+
+
+def test_stream_writer_validates_zstd_level():
+    from pyspark.sql.types import StructType
+
+    from zseq.datasource import ZseqStreamWriter
+    from zseq.schema import TOKENS_SCHEMA
+
+    with pytest.raises(ValueError, match="1, 22"):
+        ZseqStreamWriter({"path": "/tmp/x", "zstd_level": "30"},
+                         TOKENS_SCHEMA.to_spark())
+
+
+def test_overwrite_is_atomic_against_stale_files(registered, tmp_path):
+    """New writes use job-unique names; the manifest swap is the commit
+    point and GC removes old parts only after it."""
+    out = str(tmp_path / "atom")
+    synth.tokens_df_range(registered, 200, partitions=2) \
+        .write.format("zseq").mode("overwrite").save(out)
+    first = {f for f in os.listdir(out) if f.endswith(".zseq")}
+    synth.tokens_df_range(registered, 100, partitions=2) \
+        .write.format("zseq").mode("overwrite").save(out)
+    second = {f for f in os.listdir(out) if f.endswith(".zseq")}
+    assert first.isdisjoint(second)  # never clobbered in place
+    assert registered.read.format("zseq").load(out).count() == 100

@@ -240,3 +240,14 @@ def test_ngram_max_doc_freq_drops_boilerplate(spark):
     assert set(capped) == {(100, 101)}
     i, u = capped[(100, 101)]
     assert i == u  # rare-shingle projections identical
+
+
+def test_simhash_radius_zero_single_block(spark):
+    """blocks=1 (max_hamming=0) must not overflow the 64-bit mask; only
+    identical signatures pair."""
+    sh = spark.createDataFrame(
+        [(1, 123456789), (2, 123456789), (3, -987654321)],
+        "doc_id long, simhash long")
+    found = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_pairs(sh, max_hamming=0).collect()}
+    assert found == {(1, 2): 0}

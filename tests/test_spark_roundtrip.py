@@ -163,3 +163,17 @@ def test_zstd_level_does_not_leak_into_later_default_encodes(
     ca = {p["part_id"]: p["crc32"] for p in a.parts}
     cc = {p["part_id"]: p["crc32"] for p in c.parts}
     assert ca == cc
+
+
+def test_decode_ignores_stray_part_files(spark, tokens_df, tmp_path):
+    """Committed reads follow the manifest ONLY: orphans of a crashed
+    overwrite/epoch commit must not leak rows in."""
+    import shutil
+
+    out = str(tmp_path / "stray")
+    zenc.encode(tokens_df, out, partitions=2)
+    n = tokens_df.count()
+    real = sorted(f for f in os.listdir(out) if f.endswith(".zseq"))[0]
+    shutil.copy(os.path.join(out, real),
+                os.path.join(out, "part-deadbeef-99999.zseq"))
+    assert zdec.decode(spark, out).count() == n

@@ -164,7 +164,19 @@ def cmd_dump(args) -> int:
     part = m["parts"][args.part]
     with open(os.path.join(args.input, part["file"]), "rb") as f:
         r = ZseqReader(f.read())
-    tbl = r.read_all()
+    # Decode only as many BLOCKS as the limit needs — blocks are
+    # length-prefixed and independently decodable, so a multi-GB part
+    # never fully decompresses for a 20-row peek.
+    import pyarrow as pa
+
+    batches, n_rows = [], 0
+    for b in r.batches():
+        batches.append(b)
+        n_rows += b.num_rows
+        if n_rows >= args.limit:
+            break
+    tbl = pa.Table.from_batches(batches, schema=r.schema) if batches \
+        else pa.Table.from_batches([], schema=r.schema)
 
     def jval(o):
         if isinstance(o, bytes):
@@ -173,7 +185,8 @@ def cmd_dump(args) -> int:
 
     view = {
         "file": part["file"],
-        "rows": tbl.num_rows,
+        "rows": part["rows"],
+        "rows_decoded": tbl.num_rows,
         "schema": {n: str(tbl.schema.field(n).type)
                    for n in tbl.column_names},
         "codecs": json.loads(part["codecs"]),

@@ -528,6 +528,10 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         return decode_column(mv, pos, typ, n)
     if kind == K_ENUM:
         tags64, pos = IC.decode_ints(mv, pos, n)
+        if n and ((tags64 < -128) | (tags64 > 127)).any():
+            # int8 cast would alias e.g. 256 -> 0 and smuggle a foreign
+            # tag past the strict variant check
+            raise ValueError("enum: stored tag outside int8 domain")
         codes = tags64.astype(np.int8)
         (nvar,) = struct.unpack_from("<H", mv, pos)
         pos += 2

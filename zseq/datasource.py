@@ -159,16 +159,11 @@ def pa_select(schema, keep: list[str]):
 
 def _read_verified_blob(path: str, crc32: int | None):
     """Open a part file, enforce the manifest crc, return its reader."""
-    import zlib
-
-    from .zseqfile import ZseqReader
+    from .zseqfile import ZseqReader, check_crc
 
     with open(path, "rb") as f:
         content = f.read()
-    if crc32 is not None and zlib.crc32(content) != crc32:
-        raise ValueError(
-            f"{path}: crc32 mismatch vs manifest — file is corrupt or "
-            "was modified after commit")
+    check_crc(content, crc32, path)
     return ZseqReader(content)
 
 
@@ -179,6 +174,13 @@ class ZseqSourceReader(DataSourceReader):
         self._dir = options.get("path")
         m = read_manifest(self._dir)
         if m is None:
+            from .streaming import committed_epochs
+
+            if committed_epochs(self._dir):
+                raise ValueError(
+                    f"{self._dir} is a streaming-epoch layout — batch-read "
+                    "it with spark.readStream.format('zseq') or merge it "
+                    "first with 'python -m zseq compact'")
             raise FileNotFoundError(
                 f"{self._dir}/manifest.json missing — not a committed "
                 "zseq dataset")
@@ -270,6 +272,8 @@ class ZseqSourceReader(DataSourceReader):
 
 class ZseqSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from .encode import read_manifest
@@ -282,6 +286,11 @@ class ZseqSourceWriter(DataSourceArrowWriter):
                 "zseq: dataset already committed at this path — append is "
                 "not supported, use .mode('overwrite')")
         self._overwrite = overwrite
+        # Job-unique file-name token: new parts can NEVER clobber a
+        # previously committed dataset's files, so the atomic manifest
+        # write is the single commit point (crash before it leaves the
+        # old dataset fully intact; readers only follow the manifest).
+        self._token = uuid.uuid4().hex[:8]
         lvl = options.get("zstd_level")
         self._zstd = int(lvl) if lvl else None
         if self._zstd is not None and not 1 <= self._zstd <= 22:
@@ -307,7 +316,8 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         tbl = pa.Table.from_batches(batches).combine_chunks()
         row = _encode_table_to_file(
             tbl, self._dir, pid, self._schema, self._cluster,
-            self._batch_rows, t0, self._zstd)
+            self._batch_rows, t0, self._zstd,
+            fname=f"part-{self._token}-{pid:05d}.zseq")
         return ZseqCommit(row)
 
     def commit(self, messages) -> None:
@@ -315,22 +325,33 @@ class ZseqSourceWriter(DataSourceArrowWriter):
 
         parts = [m.part for m in messages if m is not None and m.part]
         parts.sort(key=lambda p: p["part_id"])
-        if self._overwrite:
-            keep = {p["file"] for p in parts}
-            for f in os.listdir(self._dir):
-                if f.endswith(".zseq") and f not in keep:
-                    os.remove(os.path.join(self._dir, f))
         manifest = build_manifest(
             mode="datasource", partitions=len(parts),
             arrow_schema=self._schema, parts=parts, zstd_level=self._zstd)
+        # The manifest swap IS the commit; only then GC files the new
+        # manifest doesn't reference (the old dataset's parts, plus any
+        # orphan of an earlier crashed write — readers never glob).
         _atomic_write_json(os.path.join(self._dir, "manifest.json"),
                            manifest)
+        keep = {p["file"] for p in parts}
+        for f in os.listdir(self._dir):
+            if f.endswith(".zseq") and f not in keep:
+                try:
+                    os.remove(os.path.join(self._dir, f))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
-        for m in messages or []:
-            if m is not None and m.part:
+        # Remove only THIS job's files (token-named); the committed
+        # dataset's files and manifest are untouched.
+        try:
+            names = os.listdir(self._dir)
+        except OSError:
+            return
+        for f in names:
+            if f.startswith(f"part-{self._token}-") and f.endswith(".zseq"):
                 try:
-                    os.remove(os.path.join(self._dir, m.part["file"]))
+                    os.remove(os.path.join(self._dir, f))
                 except OSError:
                     pass
 
@@ -355,6 +376,9 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError("zseq: .start(path) is required")
         lvl = options.get("zstd_level")
         self._zstd = int(lvl) if lvl else None
+        if self._zstd is not None and not 1 <= self._zstd <= 22:
+            raise ValueError(
+                f"zstd level must be in [1, 22]: {self._zstd}")
         self._cluster = str(options.get("cluster", "true")).lower() != "false"
         self._batch_rows = int(options.get("batch_rows", 1 << 16))
         self._schema = to_arrow_schema(schema)

@@ -23,19 +23,16 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
                   predicate: list[tuple] | None = None):
     def fn(batches):
         import os
-        import zlib
+
+        from .zseqfile import check_crc
 
         for batch in batches:
             paths = batch.column("path").to_pylist()
             contents = batch.column("content").to_pylist()
             for path, content in zip(paths, contents):
                 if crcs is not None:
-                    want = crcs.get(os.path.basename(path))
-                    if want is not None and zlib.crc32(content) != want:
-                        raise ValueError(
-                            f"{path}: crc32 mismatch vs manifest — file is "
-                            "corrupt or was modified after commit"
-                        )
+                    check_crc(content, crcs.get(os.path.basename(path)),
+                              path)
                 r = ZseqReader(content)
                 if list(r.schema.names) != list(schema_names):
                     raise ValueError(
@@ -58,6 +55,8 @@ def decode(spark: SparkSession, out_dir: str,
     conjunction of (col, op, int_value) pruned against per-block zone
     maps; surviving blocks may still hold non-matching rows, so compose
     with a normal ``.filter`` for exact semantics."""
+    import os
+
     from .session import ship_package
 
     ship_package(spark)
@@ -71,12 +70,28 @@ def decode(spark: SparkSession, out_dir: str,
         pa.py_buffer(bytes.fromhex(manifest["schema"]))
     ) if manifest else None
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.zseq")
-        .load(out_dir)
-        .select("path", "content")
-    )
+    if manifest is not None:
+        # Read EXACTLY the committed part list — never glob. Stray .zseq
+        # files (orphans of a crashed overwrite/epoch commit, or a
+        # concurrent writer's staged output) must not leak rows into a
+        # committed dataset.
+        paths = [os.path.join(out_dir, p["file"])
+                 for p in manifest.get("parts", [])]
+        if not paths:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return spark.createDataFrame([], from_arrow_schema(schema))
+        files = (
+            spark.read.format("binaryFile").load(paths)
+            .select("path", "content")
+        )
+    else:
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.zseq")
+            .load(out_dir)
+            .select("path", "content")
+        )
     if schema is None:
         # Partial read: schema from the first file.
         first = files.limit(1).collect()

@@ -298,13 +298,19 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
     if not 1 <= n_blocks <= 64:
         raise ValueError(f"simhash blocks must be in [1, 64]: {n_blocks}")
     bounds = _block_bounds(n_blocks)
+
+    def block_val(off: int, w: int):
+        v = F.shiftright("simhash", off)
+        # w == 64 only for blocks=1: the mask (1<<64)-1 overflows a Java
+        # long and the full signature needs no masking anyway.
+        return v if w >= 64 else v.bitwiseAND(F.lit((1 << w) - 1))
+
     blk = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright("simhash", off).bitwiseAND(
-                    F.lit((1 << w) - 1)).alias("v"),
+                block_val(off, w).alias("v"),
             )
             for i, (off, w) in enumerate(bounds)
         ])).alias("b"),

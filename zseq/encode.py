@@ -177,7 +177,8 @@ def _take_table(tbl: pa.Table, order: np.ndarray) -> pa.Table:
 def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
                           schema: pa.Schema, cluster: bool,
                           batch_rows: int, t0: float,
-                          zstd_level: int | None = None) -> dict:
+                          zstd_level: int | None = None,
+                          fname: str | None = None) -> dict:
     # ALWAYS set the level: PySpark reuses daemon workers across jobs
     # (spark.python.worker.reuse), so a previous job's non-default level
     # would otherwise leak into this job's "default" encode and break
@@ -190,7 +191,7 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
         order = _cluster_order(tbl)
         if order is not None:
             tbl = _take_table(tbl, order)
-    fname = f"part-{part_id:05d}.zseq"
+    fname = fname or f"part-{part_id:05d}.zseq"
     final = os.path.join(out_dir, fname)
     tmp = final + f".tmp-{os.getpid()}"
     list_elems = 0

@@ -45,6 +45,17 @@ from . import MAGIC
 from . import column as COL
 
 
+def check_crc(content, want: int | None, path: str = "") -> None:
+    """Enforce the manifest's per-part crc32 (the ONE corruption gate
+    shared by every read path)."""
+    import zlib
+
+    if want is not None and zlib.crc32(content) != want:
+        raise ValueError(
+            f"{path}: crc32 mismatch vs manifest — file is corrupt or "
+            "was modified after commit")
+
+
 class ZseqWriter:
     def __init__(self, sink, schema: pa.Schema, meta: dict | None = None):
         self._sink = sink
