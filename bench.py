@@ -178,7 +178,10 @@ def _run_stage(work: str, stage: str, arg: str = "",
         sys.stderr.write(
             f"bench stage {stage} attempt {attempt} rc={out.returncode}\n")
         sys.stderr.write(out.stderr[-4000:])
-        time.sleep(5 * (attempt + 1))
+        if out.returncode > 0:
+            break  # real in-stage failure — do not mask it with retries
+        if attempt < retries:
+            time.sleep(5 * (attempt + 1))
     raise RuntimeError(
         f"bench stage {stage} failed (rc={last.returncode})")
 

@@ -177,3 +177,37 @@ def test_decode_ignores_stray_part_files(spark, tokens_df, tmp_path):
     shutil.copy(os.path.join(out, real),
                 os.path.join(out, "part-deadbeef-99999.zseq"))
     assert zdec.decode(spark, out).count() == n
+
+
+def test_gc_unreferenced_spares_fresh_files(tmp_path):
+    """The commit-time GC removes only files OLDER than the job start:
+    a concurrent writer's fresh parts survive (last-commit-wins, never
+    corruption)."""
+    import time
+
+    d = str(tmp_path)
+    old = os.path.join(d, "part-old-00000.zseq")
+    open(old, "wb").write(b"x")
+    past = os.path.getmtime(old) - 100
+    os.utime(old, (past, past))
+    fresh = os.path.join(d, "part-new-00000.zseq")
+    open(fresh, "wb").write(b"y")
+    kept = os.path.join(d, "part-keep-00000.zseq")
+    open(kept, "wb").write(b"z")
+    zenc.gc_unreferenced(d, {"part-keep-00000.zseq"}, time.time() - 50)
+    left = sorted(f for f in os.listdir(d) if f.endswith(".zseq"))
+    assert left == ["part-keep-00000.zseq", "part-new-00000.zseq"]
+
+
+def test_reencode_into_committed_dir_is_atomic(spark, tokens_df, tmp_path):
+    """zenc.encode into an already-committed directory never clobbers the
+    old files in place; after the new commit the old parts are GC'd and
+    the dataset reads the new content exactly."""
+    out = str(tmp_path / "re")
+    zenc.encode(tokens_df, out, partitions=2)
+    first = {f for f in os.listdir(out) if f.endswith(".zseq")}
+    small = tokens_df.limit(100)
+    zenc.encode(small, out, partitions=1)
+    second = {f for f in os.listdir(out) if f.endswith(".zseq")}
+    assert first.isdisjoint(second)
+    assert zdec.decode(spark, out).count() == 100

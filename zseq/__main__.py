@@ -175,8 +175,7 @@ def cmd_dump(args) -> int:
         n_rows += b.num_rows
         if n_rows >= args.limit:
             break
-    tbl = pa.Table.from_batches(batches, schema=r.schema) if batches \
-        else pa.Table.from_batches([], schema=r.schema)
+    tbl = pa.Table.from_batches(batches, schema=r.schema)
 
     def jval(o):
         if isinstance(o, bytes):

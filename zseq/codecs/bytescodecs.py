@@ -56,12 +56,19 @@ SAMPLE_BYTES = 1 << 16
 FSST_MAX_MEAN_LEN = 128.0
 
 
+def validate_zstd_level(level: int | None) -> None:
+    """The one range check every entry point shares (1-22 or None)."""
+    if level is not None and not 1 <= int(level) <= 22:
+        raise ValueError(f"zstd level must be in [1, 22]: {level}")
+
+
 def set_zstd_level(level: int) -> None:
     """Set the module-wide zstd compression level (1-22). Called inside
     encode workers from the level captured in the job closure."""
     global ZSTD_LEVEL
-    if not 1 <= int(level) <= 22:
-        raise ValueError(f"zstd level must be in [1, 22]: {level}")
+    validate_zstd_level(level)
+    if level is None:
+        raise ValueError("zstd level must not be None")
     ZSTD_LEVEL = int(level)
 
 

@@ -178,9 +178,10 @@ class ZseqSourceReader(DataSourceReader):
 
             if committed_epochs(self._dir):
                 raise ValueError(
-                    f"{self._dir} is a streaming-epoch layout — batch-read "
-                    "it with spark.readStream.format('zseq') or merge it "
-                    "first with 'python -m zseq compact'")
+                    f"{self._dir} is a streaming-epoch layout — read it as "
+                    "a stream with spark.readStream.format('zseq'), or "
+                    "merge it into a batch dataset first with "
+                    "'python -m zseq compact'")
             raise FileNotFoundError(
                 f"{self._dir}/manifest.json missing — not a committed "
                 "zseq dataset")
@@ -290,11 +291,15 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         # previously committed dataset's files, so the atomic manifest
         # write is the single commit point (crash before it leaves the
         # old dataset fully intact; readers only follow the manifest).
+        import time
+
         self._token = uuid.uuid4().hex[:8]
+        self._t0 = time.time()
+        from .codecs.bytescodecs import validate_zstd_level
+
         lvl = options.get("zstd_level")
         self._zstd = int(lvl) if lvl else None
-        if self._zstd is not None and not 1 <= self._zstd <= 22:
-            raise ValueError(f"zstd level must be in [1, 22]: {self._zstd}")
+        validate_zstd_level(self._zstd)
         self._cluster = str(options.get("cluster", "true")).lower() != "false"
         self._batch_rows = int(options.get("batch_rows", 1 << 16))
         self._schema = to_arrow_schema(schema)
@@ -330,16 +335,13 @@ class ZseqSourceWriter(DataSourceArrowWriter):
             arrow_schema=self._schema, parts=parts, zstd_level=self._zstd)
         # The manifest swap IS the commit; only then GC files the new
         # manifest doesn't reference (the old dataset's parts, plus any
-        # orphan of an earlier crashed write — readers never glob).
+        # orphan of an earlier crashed write — readers never glob). The
+        # mtime guard spares a CONCURRENT writer's fresh files.
+        from .encode import gc_unreferenced
+
         _atomic_write_json(os.path.join(self._dir, "manifest.json"),
                            manifest)
-        keep = {p["file"] for p in parts}
-        for f in os.listdir(self._dir):
-            if f.endswith(".zseq") and f not in keep:
-                try:
-                    os.remove(os.path.join(self._dir, f))
-                except OSError:
-                    pass
+        gc_unreferenced(self._dir, {p["file"] for p in parts}, self._t0)
 
     def abort(self, messages) -> None:
         # Remove only THIS job's files (token-named); the committed
@@ -374,11 +376,11 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("zseq: .start(path) is required")
+        from .codecs.bytescodecs import validate_zstd_level
+
         lvl = options.get("zstd_level")
         self._zstd = int(lvl) if lvl else None
-        if self._zstd is not None and not 1 <= self._zstd <= 22:
-            raise ValueError(
-                f"zstd level must be in [1, 22]: {self._zstd}")
+        validate_zstd_level(self._zstd)
         self._cluster = str(options.get("cluster", "true")).lower() != "false"
         self._batch_rows = int(options.get("batch_rows", 1 << 16))
         self._schema = to_arrow_schema(schema)

@@ -80,7 +80,11 @@ def decode(spark: SparkSession, out_dir: str,
         if not paths:
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            return spark.createDataFrame([], from_arrow_schema(schema))
+            empty_schema = schema if columns is None else pa.schema([
+                schema.field(n) for n in schema.names
+                if n in set(columns)])
+            return spark.createDataFrame(
+                [], from_arrow_schema(empty_schema))
         files = (
             spark.read.format("binaryFile").load(paths)
             .select("path", "content")

@@ -58,6 +58,28 @@ _METRICS_PA = pa.schema([
 ])
 
 
+def gc_unreferenced(out_dir: str, keep: set[str], before: float) -> None:
+    """After the manifest swap (the commit point), remove .zseq files the
+    new manifest does not reference — the old dataset's parts plus
+    orphans of crashed jobs. Files newer than ``before`` (this job's
+    start) are spared: they may be a CONCURRENT writer's parts, and the
+    last manifest to land must point at files that still exist
+    (concurrent overwrite is last-commit-wins, never corruption)."""
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return
+    for f in names:
+        if not f.endswith(".zseq") or f in keep:
+            continue
+        p = os.path.join(out_dir, f)
+        try:
+            if os.path.getmtime(p) < before:
+                os.remove(p)
+        except OSError:
+            pass
+
+
 def build_manifest(*, mode: str, partitions: int, arrow_schema: pa.Schema,
                    parts: list[dict], partition_col: str | None = None,
                    zstd_level: int | None = None,
@@ -220,7 +242,8 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
 
 
 def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
-                      batch_rows: int, zstd_level: int | None = None):
+                      batch_rows: int, zstd_level: int | None = None,
+                      token: str | None = None):
     def fn(batches):
         from pyspark import TaskContext
 
@@ -230,9 +253,10 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
         if not got:
             return
         tbl = pa.Table.from_batches(got).combine_chunks()
+        fname = f"part-{token}-{pid:05d}.zseq" if token else None
         row = _encode_table_to_file(
             tbl, out_dir, pid, schema, cluster, batch_rows, t0,
-            zstd_level)
+            zstd_level, fname=fname)
         yield pa.RecordBatch.from_pylist([row], schema=_METRICS_PA)
 
     return fn
@@ -240,7 +264,8 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
 
 def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
                   batch_rows: int, columns: list[str] | None,
-                  zstd_level: int | None = None):
+                  zstd_level: int | None = None,
+                  token: str | None = None):
     """Task fn for the parquet fast path: each input row is
     (part_id, file path); the worker reads the parquet itself via pyarrow
     (bypassing the JVM row->Arrow conversion, which profiling shows costs
@@ -262,9 +287,11 @@ def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
                 if schema.names != tbl.schema.names:
                     tbl = tbl.select(schema.names)
                 tbl = tbl.cast(schema)
+                fname = (f"part-{token}-{row['part_id']:05d}.zseq"
+                         if token else None)
                 out = _encode_table_to_file(
                     tbl, out_dir, row["part_id"], schema, cluster,
-                    batch_rows, t0, zstd_level)
+                    batch_rows, t0, zstd_level, fname=fname)
                 yield pa.RecordBatch.from_pylist([out], schema=_METRICS_PA)
 
     return fn
@@ -341,8 +368,9 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
                 if os.path.exists(path):
                     done_parts[p["part_id"]] = p
 
-    if zstd_level is not None and not 1 <= zstd_level <= 22:
-        raise ValueError(f"zstd level must be in [1, 22]: {zstd_level}")
+    from .codecs.bytescodecs import validate_zstd_level
+
+    validate_zstd_level(zstd_level)
     arrow_schema = to_arrow_schema(df)
     if reversed_cols:
         from .column import mark_reversed
@@ -366,10 +394,19 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         work = df
         run = True
     if run:
+        # Job-unique part names: a re-encode into a committed directory
+        # can never clobber the live dataset's files; the atomic manifest
+        # write below is the single commit point.
+        import uuid
+
+        t_start = time.time()
+        token = uuid.uuid4().hex[:8]
         fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows,
-                               zstd_level)
+                               zstd_level, token)
         metrics = work.mapInArrow(fn, METRICS_SCHEMA)
         parts = [r.asDict() for r in metrics.collect()]
+    else:
+        t_start = time.time()
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
 
@@ -378,6 +415,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         arrow_schema=arrow_schema, parts=parts, partition_col=key,
         zstd_level=zstd_level, reversed_cols=reversed_cols)
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    gc_unreferenced(out_dir, {p["file"] for p in parts}, t_start)
     return EncodeResult(out_dir, manifest, parts)
 
 
@@ -510,8 +548,9 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     ]
     import pyarrow.parquet as pq
 
-    if zstd_level is not None and not 1 <= zstd_level <= 22:
-        raise ValueError(f"zstd level must be in [1, 22]: {zstd_level}")
+    from .codecs.bytescodecs import validate_zstd_level
+
+    validate_zstd_level(zstd_level)
     arrow_schema = pq.read_schema(files[0])
     if columns:
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
@@ -520,8 +559,11 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
         arrow_schema = mark_reversed(arrow_schema, reversed_cols)
     parts: list[dict] = []
+    t_start = time.time()
     if todo:
-        ncores = spark.sparkContext.defaultParallelism
+        import uuid
+
+        token = uuid.uuid4().hex[:8]
         # parallelize with explicit slices: spreads one file per task
         # without paying a shuffle job for a list of paths.
         rdd = spark.sparkContext.parallelize(
@@ -529,7 +571,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
             numSlices=len(todo))
         pdf = spark.createDataFrame(rdd, "part_id int, path string")
         fn = _encode_files(out_dir, arrow_schema, cluster, batch_rows,
-                           columns, zstd_level)
+                           columns, zstd_level, token)
         parts = [r.asDict() for r in pdf.mapInArrow(fn, METRICS_SCHEMA)
                  .collect()]
     parts.extend(done_parts.values())
@@ -539,6 +581,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         parts=parts, zstd_level=zstd_level, reversed_cols=reversed_cols,
         extra={"input_files": files})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    gc_unreferenced(out_dir, {p["file"] for p in parts}, t_start)
     return EncodeResult(out_dir, manifest, parts)
 
 
