@@ -179,24 +179,24 @@ def test_decode_ignores_stray_part_files(spark, tokens_df, tmp_path):
     assert zdec.decode(spark, out).count() == n
 
 
-def test_gc_unreferenced_spares_fresh_files(tmp_path):
-    """The commit-time GC removes only files OLDER than the job start:
-    a concurrent writer's fresh parts survive (last-commit-wins, never
-    corruption)."""
-    import time
-
+def test_gc_unreferenced_deletes_only_entitled_files(tmp_path):
+    """The commit-time GC deletes ONLY the superseded manifest's parts
+    and this job's token leftovers (+ stale tmp files); a concurrent
+    writer's parts and a crashed job's salvageable parts survive."""
     d = str(tmp_path)
-    old = os.path.join(d, "part-old-00000.zseq")
-    open(old, "wb").write(b"x")
-    past = os.path.getmtime(old) - 100
-    os.utime(old, (past, past))
-    fresh = os.path.join(d, "part-new-00000.zseq")
-    open(fresh, "wb").write(b"y")
-    kept = os.path.join(d, "part-keep-00000.zseq")
-    open(kept, "wb").write(b"z")
-    zenc.gc_unreferenced(d, {"part-keep-00000.zseq"}, time.time() - 50)
-    left = sorted(f for f in os.listdir(d) if f.endswith(".zseq"))
-    assert left == ["part-keep-00000.zseq", "part-new-00000.zseq"]
+    for name in ("part-oldm-00000.zseq",      # in the old manifest
+                 "part-tok1-00001.zseq",      # our token, not kept
+                 "part-tok1-00000.zseq.tmp-9",  # tmp of a kept file
+                 "part-conc-00000.zseq",      # concurrent writer
+                 "part-crash-00000.zseq",     # crashed job, no manifest
+                 "part-tok1-00000.zseq"):     # kept
+        open(os.path.join(d, name), "wb").write(b"x")
+    zenc.gc_unreferenced(
+        d, keep={"part-tok1-00000.zseq"},
+        old_files={"part-oldm-00000.zseq"}, token="tok1")
+    left = sorted(f for f in os.listdir(d) if ".zseq" in f)
+    assert left == ["part-conc-00000.zseq", "part-crash-00000.zseq",
+                    "part-tok1-00000.zseq"]
 
 
 def test_reencode_into_committed_dir_is_atomic(spark, tokens_df, tmp_path):

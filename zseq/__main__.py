@@ -162,8 +162,13 @@ def cmd_dump(args) -> int:
               f"(0..{len(m['parts']) - 1})", file=sys.stderr)
         return 1
     part = m["parts"][args.part]
-    with open(os.path.join(args.input, part["file"]), "rb") as f:
-        r = ZseqReader(f.read())
+    from .zseqfile import check_crc
+
+    path = os.path.join(args.input, part["file"])
+    with open(path, "rb") as f:
+        content = f.read()
+    check_crc(content, part.get("crc32"), path)
+    r = ZseqReader(content)
     # Decode only as many BLOCKS as the limit needs — blocks are
     # length-prefixed and independently decodable, so a multi-GB part
     # never fully decompresses for a 20-row peek.

@@ -282,19 +282,18 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("zseq: .save(path) is required")
-        if not overwrite and read_manifest(self._dir) is not None:
+        prev = read_manifest(self._dir)
+        if not overwrite and prev is not None:
             raise ValueError(
                 "zseq: dataset already committed at this path — append is "
                 "not supported, use .mode('overwrite')")
         self._overwrite = overwrite
+        self._old_files = {p["file"] for p in (prev or {}).get("parts", [])}
         # Job-unique file-name token: new parts can NEVER clobber a
         # previously committed dataset's files, so the atomic manifest
         # write is the single commit point (crash before it leaves the
         # old dataset fully intact; readers only follow the manifest).
-        import time
-
         self._token = uuid.uuid4().hex[:8]
-        self._t0 = time.time()
         from .codecs.bytescodecs import validate_zstd_level
 
         lvl = options.get("zstd_level")
@@ -333,15 +332,16 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         manifest = build_manifest(
             mode="datasource", partitions=len(parts),
             arrow_schema=self._schema, parts=parts, zstd_level=self._zstd)
-        # The manifest swap IS the commit; only then GC files the new
-        # manifest doesn't reference (the old dataset's parts, plus any
-        # orphan of an earlier crashed write — readers never glob). The
-        # mtime guard spares a CONCURRENT writer's fresh files.
+        # The manifest swap IS the commit; only then GC the files this
+        # job is entitled to delete (the superseded manifest's parts and
+        # our own token-named leftovers — never a concurrent writer's or
+        # a crashed job's salvageable parts; readers never glob).
         from .encode import gc_unreferenced
 
         _atomic_write_json(os.path.join(self._dir, "manifest.json"),
                            manifest)
-        gc_unreferenced(self._dir, {p["file"] for p in parts}, self._t0)
+        gc_unreferenced(self._dir, {p["file"] for p in parts},
+                        self._old_files, self._token)
 
     def abort(self, messages) -> None:
         # Remove only THIS job's files (token-named); the committed

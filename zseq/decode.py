@@ -70,6 +70,10 @@ def decode(spark: SparkSession, out_dir: str,
         pa.py_buffer(bytes.fromhex(manifest["schema"]))
     ) if manifest else None
 
+    if manifest is not None and columns is not None:
+        missing = set(columns) - set(manifest["schema_names"])
+        if missing:
+            raise KeyError(f"zseq: unknown columns {sorted(missing)}")
     if manifest is not None:
         # Read EXACTLY the committed part list — never glob. Stray .zseq
         # files (orphans of a crashed overwrite/epoch commit, or a

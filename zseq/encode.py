@@ -58,24 +58,40 @@ _METRICS_PA = pa.schema([
 ])
 
 
-def gc_unreferenced(out_dir: str, keep: set[str], before: float) -> None:
-    """After the manifest swap (the commit point), remove .zseq files the
-    new manifest does not reference — the old dataset's parts plus
-    orphans of crashed jobs. Files newer than ``before`` (this job's
-    start) are spared: they may be a CONCURRENT writer's parts, and the
-    last manifest to land must point at files that still exist
-    (concurrent overwrite is last-commit-wins, never corruption)."""
+def gc_unreferenced(out_dir: str, keep: set[str], old_files: set[str],
+                    token: str | None) -> None:
+    """After the manifest swap (the commit point), remove exactly the
+    files this job is entitled to delete and no others:
+
+      - the old manifest's parts (``old_files``) — superseded by the
+        manifest we just committed;
+      - this job's own token-named files — retried/aborted leftovers;
+      - ``.zseq.tmp-*`` staging leftovers of either of the above (and of
+        kept files: after commit every task is done, so a tmp next to a
+        committed part is a dead attempt).
+
+    Everything else is spared — in particular a CONCURRENT writer's
+    parts, regardless of when it started: its files are neither in the
+    old manifest nor token-matched, so concurrent overwrite degrades to
+    last-manifest-wins (the loser's parts become unreferenced orphans
+    that ITS next commit or a future overwrite of the same files never
+    touches; readers only follow the manifest). Salvageable parts of a
+    crashed earlier job (no manifest) are likewise never deleted by a
+    later non-overwrite write."""
     try:
         names = os.listdir(out_dir)
     except OSError:
         return
     for f in names:
-        if not f.endswith(".zseq") or f in keep:
+        if ".zseq" not in f or f in keep:
             continue
-        p = os.path.join(out_dir, f)
+        base = f.split(".zseq")[0] + ".zseq"
+        ours = token is not None and base.startswith(f"part-{token}-")
+        stale_tmp = f != base and base in keep
+        if not (base in old_files or ours or stale_tmp):
+            continue
         try:
-            if os.path.getmtime(p) < before:
-                os.remove(p)
+            os.remove(os.path.join(out_dir, f))
         except OSError:
             pass
 
@@ -354,9 +370,10 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     key = partition_col or df.columns[0]
     os.makedirs(out_dir, exist_ok=True)
 
+    prev = read_manifest(out_dir)
+    old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
     if resume:
-        prev = read_manifest(out_dir)
         if prev is not None:
             if prev["partitions"] != P:
                 raise ValueError(
@@ -393,20 +410,17 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     else:
         work = df
         run = True
-    if run:
-        # Job-unique part names: a re-encode into a committed directory
-        # can never clobber the live dataset's files; the atomic manifest
-        # write below is the single commit point.
-        import uuid
+    # Job-unique part names: a re-encode into a committed directory
+    # can never clobber the live dataset's files; the atomic manifest
+    # write below is the single commit point.
+    import uuid
 
-        t_start = time.time()
-        token = uuid.uuid4().hex[:8]
+    token = uuid.uuid4().hex[:8]
+    if run:
         fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows,
                                zstd_level, token)
         metrics = work.mapInArrow(fn, METRICS_SCHEMA)
         parts = [r.asDict() for r in metrics.collect()]
-    else:
-        t_start = time.time()
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
 
@@ -415,7 +429,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         arrow_schema=arrow_schema, parts=parts, partition_col=key,
         zstd_level=zstd_level, reversed_cols=reversed_cols)
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
-    gc_unreferenced(out_dir, {p["file"] for p in parts}, t_start)
+    gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
 
 
@@ -529,9 +543,10 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         raise FileNotFoundError(f"no .parquet files in {input_dir}")
     os.makedirs(out_dir, exist_ok=True)
 
+    prev = read_manifest(out_dir)
+    old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
     if resume:
-        prev = read_manifest(out_dir)
         if prev is not None:
             if prev.get("input_files") != files:
                 raise ValueError(
@@ -559,11 +574,10 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
         arrow_schema = mark_reversed(arrow_schema, reversed_cols)
     parts: list[dict] = []
-    t_start = time.time()
-    if todo:
-        import uuid
+    import uuid
 
-        token = uuid.uuid4().hex[:8]
+    token = uuid.uuid4().hex[:8]
+    if todo:
         # parallelize with explicit slices: spreads one file per task
         # without paying a shuffle job for a list of paths.
         rdd = spark.sparkContext.parallelize(
@@ -581,7 +595,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         parts=parts, zstd_level=zstd_level, reversed_cols=reversed_cols,
         extra={"input_files": files})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
-    gc_unreferenced(out_dir, {p["file"] for p in parts}, t_start)
+    gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
 
 
