@@ -256,6 +256,167 @@ FROM events
 """
 
 
+def q_codec_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S14: Struct column through the real codec machinery — the SoA
+    per-field split (striped.rs:287-339 shred, :541-580 unshred). The
+    struct is BUILT inside the Arrow batch with both struct-level nulls
+    (event_id % 7 == 0) and child-level nulls (event_id % 5 == 0 on the
+    string field), encoded, decoded, and re-flattened; output values come
+    from the DECODED struct (null propagation included), so any struct
+    codec or validity bug breaks the oracle hash."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id as bigint) as event_id",
+        "cast(user_id as bigint) as iv",
+        "cast(coalesce(event_type, '') as string) as sv")
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        from zseq import column as C
+
+        for b in batches:
+            eid = b.column(0).to_numpy(zero_copy_only=False)
+            null_s = pa.array(eid % 5 == 0)
+            null_st = pa.array(eid % 7 == 0)
+            s_child = pc.if_else(null_s, pa.scalar(None, pa.string()),
+                                 b.column(2))
+            st = pa.StructArray.from_arrays(
+                [b.column(1), s_child], names=["i", "s"], mask=null_st)
+            blob = C.encode_column(st, {}, "st")
+            dec, _ = C.decode_column(memoryview(blob), 0, st.type, len(st))
+            ok = pc.is_valid(dec)
+            i_val = pc.if_else(ok, dec.field(0), pa.scalar(None, pa.int64()))
+            s_val = pc.if_else(ok, dec.field(1), pa.scalar(None, pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), i_val, s_val],
+                names=["event_id", "i_val", "s_val"])
+
+    return df.mapInArrow(fn, "event_id long, i_val long, s_val string")
+
+
+_Q_STRUCT_ORACLE = """
+SELECT cast(event_id as bigint) as event_id,
+       case when event_id % 7 <> 0 then cast(user_id as bigint) end as i_val,
+       case when event_id % 7 <> 0 and event_id % 5 <> 0
+            then coalesce(event_type, '') end as s_val
+FROM events
+"""
+
+
+def q_codec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S16: Map column through the real codec machinery — lengths +
+    key child + item child (striped.rs:106-125, :388-489). Each row gets
+    a map of 1 or 2 entries ({'a': user_id} plus {'b': event_id % 100}
+    when event_id % 3 != 0) built vectorized inside the Arrow batch,
+    encoded, decoded, and re-flattened by position; output keys AND
+    values come from the DECODED map, so key-child, item-child, and
+    lengths bugs all break the oracle hash."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id as bigint) as event_id",
+        "cast(user_id as bigint) as iv")
+
+    def fn(batches):
+        from zseq import column as C
+
+        for b in batches:
+            eid = b.column(0).to_numpy(zero_copy_only=False)
+            uid = b.column(1).to_numpy(zero_copy_only=False)
+            n = eid.size
+            lengths = np.where(eid % 3 != 0, 2, 1).astype(np.int64)
+            offs = np.zeros(n + 1, np.int32)
+            offs[1:] = np.cumsum(lengths)
+            total = int(offs[-1])
+            row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            pos = np.arange(total, dtype=np.int64) - \
+                np.repeat(offs[:-1].astype(np.int64), lengths)
+            keys = pa.array(np.where(pos == 0, "a", "b"))
+            items = pa.array(
+                np.where(pos == 0, uid[row], eid[row] % 100),
+                type=pa.int64())
+            m = pa.MapArray.from_arrays(
+                pa.array(offs, pa.int32()), keys, items)
+            blob = C.encode_column(m, {}, "m")
+            dec, _ = C.decode_column(memoryview(blob), 0, m.type, len(m))
+            doffs = np.asarray(dec.offsets, dtype=np.int64)
+            dlen = np.diff(doffs)
+            a_key = dec.keys.take(pa.array(doffs[:-1]))
+            a_val = dec.items.take(pa.array(doffs[:-1]))
+            has_b = dlen == 2
+            b_val = dec.items.take(
+                pa.array(doffs[:-1] + 1, mask=~has_b))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(dlen), a_key, a_val, b_val],
+                names=["event_id", "n_entries", "a_key", "a_val", "b_val"])
+
+    return df.mapInArrow(
+        fn, "event_id long, n_entries long, a_key string, a_val long, "
+            "b_val long")
+
+
+_Q_MAP_ORACLE = """
+SELECT cast(event_id as bigint) as event_id,
+       cast(case when event_id % 3 <> 0 then 2 else 1 end as bigint)
+           as n_entries,
+       'a' as a_key,
+       cast(user_id as bigint) as a_val,
+       case when event_id % 3 <> 0 then cast(event_id % 100 as bigint) end
+           as b_val
+FROM events
+"""
+
+
+def q_codec_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K_DECIMAL: decimal128(precision <= 18) rides the int64 pipeline as
+    its unscaled value (the reference's data model is i64/f64 only —
+    logical.rs:10-24 — so this is a zseq extension, bounds-checked at
+    encode, column.py:301-326). The decimal is cast in Spark, crosses as
+    Arrow decimal128(12,2), roundtrips through encode/decode, and the
+    DECODED unscaled cents are returned, so scaling or codec bugs break
+    the oracle hash."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as bigint) as l_orderkey",
+        "cast(l_linenumber as bigint) as l_linenumber",
+        "cast(l_extendedprice as decimal(12,2)) as price_dec")
+
+    def fn(batches):
+        from zseq import column as C
+
+        for b in batches:
+            arr = b.column(2)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            blob = C.encode_column(arr, {}, "d")
+            dec, _ = C.decode_column(memoryview(blob), 0, arr.type, len(arr))
+            # decimal128 little-endian: low word IS the unscaled value for
+            # precision <= 18 (decode produces offset-0 canonical buffers)
+            raw = np.frombuffer(dec.buffers()[1], np.int64,
+                                count=2 * len(dec)).reshape(-1, 2)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1),
+                 pa.array(raw[:, 0].copy(), pa.int64())],
+                names=["l_orderkey", "l_linenumber", "cents_rt"])
+
+    return df.mapInArrow(
+        fn, "l_orderkey long, l_linenumber long, cents_rt long")
+
+
+_Q_DECIMAL_ORACLE = """
+SELECT cast(l_orderkey as bigint) as l_orderkey,
+       cast(l_linenumber as bigint) as l_linenumber,
+       cast(round(l_extendedprice * 100) as bigint) as cents_rt
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Schema / logical-layer operator queries (SURVEY.md §2.1 L1-L7)
 # ---------------------------------------------------------------------------
@@ -581,6 +742,9 @@ def queries() -> dict:
         "codec_auto_str": _str_roundtrip(
             "events", ["event_id"], "event_type", None, "et_rt"),
         "codec_enum": q_codec_enum,
+        "codec_struct": q_codec_struct,
+        "codec_map": q_codec_map,
+        "codec_decimal": q_codec_decimal,
         "validate_date_range": q_validate_date_range,
         "merge_tables": q_merge_tables,
         "defaults_fill": q_defaults_fill,
@@ -637,6 +801,9 @@ def oracle_sql() -> dict:
             "events", ["event_id"], "event_type", "et_rt", cast="varchar",
             fill=""),
         "codec_enum": _Q_ENUM_ORACLE,
+        "codec_struct": _Q_STRUCT_ORACLE,
+        "codec_map": _Q_MAP_ORACLE,
+        "codec_decimal": _Q_DECIMAL_ORACLE,
         "validate_date_range": _Q_VALIDATE_ORACLE,
         "merge_tables": _Q_MERGE_ORACLE,
         "defaults_fill": _Q_DEFAULTS_ORACLE,
