@@ -117,3 +117,67 @@ def test_stream_dedup_exactly_once_across_batches(spark, dirs):
            for r in spark.read.parquet(sink).collect()}
     assert got == {(1, "alpha beta"), (2, "gamma delta"),
                    (11, "epsilon zeta")}
+
+
+def _write_epoch(out: str, e: int, rows: int = 5):
+    """One committed epoch written straight through the layout contract
+    (part file + manifest) — no Spark job, so a 100-epoch corpus is
+    cheap to build."""
+    import json  # noqa: F401
+    import zlib
+
+    import pyarrow as pa
+
+    from zseq.encode import _atomic_write_json, build_manifest
+    from zseq.zseqfile import encode_table
+
+    d = streaming.epoch_dir(out, e)
+    os.makedirs(d, exist_ok=True)
+    schema = pa.schema([("doc_id", pa.int64()), ("v", pa.string())])
+    tbl = pa.table(
+        {"doc_id": [e * 100 + i for i in range(rows)],
+         "v": [f"x{e}_{i}" for i in range(rows)]}, schema=schema)
+    blob = encode_table(tbl)
+    fname = "part-00000.zseq"  # SAME name in every epoch, on purpose:
+    # the crc map must key by epoch-dir/file, not basename
+    with open(os.path.join(d, fname), "wb") as f:
+        f.write(blob)
+    part = {"part_id": 0, "file": fname, "rows": rows, "list_elems": 0,
+            "raw_bytes": tbl.nbytes, "enc_bytes": len(blob),
+            "wall_sec": 0.0, "codecs": "{}", "col_bytes": "{}",
+            "crc32": zlib.crc32(blob)}
+    m = build_manifest(mode="stream", partitions=1, arrow_schema=schema,
+                       parts=[part], extra={"epoch": e})
+    _atomic_write_json(os.path.join(d, "manifest.json"), m)
+    return [(e * 100 + i, f"x{e}_{i}") for i in range(rows)]
+
+
+def test_decode_stream_is_one_scan_at_100_epochs(spark, tmp_path):
+    """decode_stream must not build an O(epochs) union chain: the
+    executed plan carries exactly ONE scan node over all committed
+    parts, and every epoch's crc is still enforced."""
+    out = str(tmp_path / "stream100")
+    expect = []
+    for e in range(100):
+        expect += _write_epoch(out, e)
+    df = streaming.decode_stream(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("FileScan") + plan.count("BatchScan")
+    assert scans == 1, f"expected one scan node, got {scans}:\n{plan}"
+    assert "Union" not in plan, plan
+    got = sorted((r["doc_id"], r["v"]) for r in df.collect())
+    assert got == sorted(expect)
+
+
+def test_decode_stream_crc_enforced_per_epoch(spark, tmp_path):
+    out = str(tmp_path / "streamcrc")
+    for e in range(3):
+        _write_epoch(out, e)
+    # corrupt epoch 1's part (same basename as every other epoch's part:
+    # a basename-keyed crc map would fetch the wrong checksum or skip)
+    p = os.path.join(streaming.epoch_dir(out, 1), "part-00000.zseq")
+    blob = bytearray(open(p, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="crc32"):
+        streaming.decode_stream(spark, out).count()

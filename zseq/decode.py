@@ -10,6 +10,8 @@ consumption, and the trailing row count.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,12 +20,19 @@ from .encode import read_manifest
 from .zseqfile import ZseqReader
 
 
+def _crc_key(path: str) -> str:
+    """Manifest-crc lookup key: the last two path components
+    ("<dataset-or-epoch-dir>/<part file>"). Basename alone is ambiguous
+    for streaming layouts, where every epoch names its parts
+    part-00000.zseq...; the parent dir disambiguates."""
+    parts = path.rstrip("/").split("/")
+    return "/".join(parts[-2:])
+
+
 def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
                   columns: list[str] | None = None,
                   predicate: list[tuple] | None = None):
     def fn(batches):
-        import os
-
         from .zseqfile import check_crc
 
         for batch in batches:
@@ -31,8 +40,12 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
             contents = batch.column("content").to_pylist()
             for path, content in zip(paths, contents):
                 if crcs is not None:
-                    check_crc(content, crcs.get(os.path.basename(path)),
-                              path)
+                    want = crcs.get(_crc_key(path))
+                    if want is None:
+                        raise ValueError(
+                            f"{path}: no crc32 entry in manifest for key "
+                            f"{_crc_key(path)!r} — refusing unverified read")
+                    check_crc(content, want, path)
                 r = ZseqReader(content)
                 if list(r.schema.names) != list(schema_names):
                     raise ValueError(
@@ -44,6 +57,32 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
     return fn
 
 
+def _df_from_parts(spark: SparkSession, paths: list[str],
+                   crcs: dict[str, int] | None, schema: pa.Schema,
+                   names: list[str],
+                   columns: list[str] | None = None,
+                   predicate: list[tuple] | None = None) -> DataFrame:
+    """ONE binaryFile scan over ``paths`` + one mapInArrow decode — the
+    shared tail of every decode entry point (batch dataset, stream epochs,
+    partial reads). The plan has a single scan node regardless of how many
+    directories the paths span."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if columns is not None:
+        schema = pa.schema([
+            schema.field(n) for n in schema.names if n in set(columns)
+        ])
+    if not paths:
+        return spark.createDataFrame([], from_arrow_schema(schema))
+    files = (
+        spark.read.format("binaryFile").load(paths)
+        .select("path", "content")
+    )
+    return files.mapInArrow(
+        _decode_files(names, crcs, columns, predicate),
+        from_arrow_schema(schema))
+
+
 def decode(spark: SparkSession, out_dir: str,
             allow_partial: bool = False,
             columns: list[str] | None = None,
@@ -52,11 +91,10 @@ def decode(spark: SparkSession, out_dir: str,
 
     ``columns`` -> projection pushdown into the blob reader (unrequested
     columns are seeked past, never decompressed). ``predicate`` -> a
-    conjunction of (col, op, int_value) pruned against per-block zone
-    maps; surviving blocks may still hold non-matching rows, so compose
-    with a normal ``.filter`` for exact semantics."""
-    import os
-
+    conjunction of (col, op, value) pruned against per-block zone
+    maps (int storage values for int-kind columns, str/bytes for binary
+    columns); surviving blocks may still hold non-matching rows, so
+    compose with a normal ``.filter`` for exact semantics."""
     from .session import ship_package
 
     ship_package(spark)
@@ -66,60 +104,42 @@ def decode(spark: SparkSession, out_dir: str,
             f"{out_dir}/manifest.json missing — encode did not commit "
             "(pass allow_partial=True to read surviving part files)"
         )
-    schema = pa.ipc.read_schema(
-        pa.py_buffer(bytes.fromhex(manifest["schema"]))
-    ) if manifest else None
-
-    if manifest is not None and columns is not None:
-        missing = set(columns) - set(manifest["schema_names"])
-        if missing:
-            raise KeyError(f"zseq: unknown columns {sorted(missing)}")
-    if manifest is not None:
-        # Read EXACTLY the committed part list — never glob. Stray .zseq
-        # files (orphans of a crashed overwrite/epoch commit, or a
-        # concurrent writer's staged output) must not leak rows into a
-        # committed dataset.
-        paths = [os.path.join(out_dir, p["file"])
-                 for p in manifest.get("parts", [])]
-        if not paths:
-            from pyspark.sql.pandas.types import from_arrow_schema
-
-            empty_schema = schema if columns is None else pa.schema([
-                schema.field(n) for n in schema.names
-                if n in set(columns)])
-            return spark.createDataFrame(
-                [], from_arrow_schema(empty_schema))
-        files = (
-            spark.read.format("binaryFile").load(paths)
-            .select("path", "content")
-        )
-    else:
+    if manifest is None:
+        # Partial read: glob survivors, schema from the first file.
         files = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.zseq")
             .load(out_dir)
             .select("path", "content")
         )
-    if schema is None:
-        # Partial read: schema from the first file.
         first = files.limit(1).collect()
         if not first:
             raise FileNotFoundError(f"no .zseq files in {out_dir}")
         schema = ZseqReader(first[0]["content"]).schema
         names = list(schema.names)
-    else:
-        names = manifest["schema_names"]
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-    from pyspark.sql.pandas.types import from_arrow_schema
+        out_schema = schema if columns is None else pa.schema([
+            schema.field(n) for n in schema.names if n in set(columns)])
+        return files.mapInArrow(
+            _decode_files(names, None, columns, predicate),
+            from_arrow_schema(out_schema))
 
-    crcs = (
-        {p["file"]: p["crc32"] for p in manifest.get("parts", [])}
-        if manifest else None
-    )
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(manifest["schema"])))
+    names = manifest["schema_names"]
     if columns is not None:
-        schema = pa.schema([
-            schema.field(n) for n in schema.names if n in set(columns)
-        ])
-    spark_schema = from_arrow_schema(schema)
-    return files.mapInArrow(
-        _decode_files(names, crcs, columns, predicate), spark_schema)
+        missing = set(columns) - set(names)
+        if missing:
+            raise KeyError(f"zseq: unknown columns {sorted(missing)}")
+    # Read EXACTLY the committed part list — never glob. Stray .zseq
+    # files (orphans of a crashed overwrite/epoch commit, or a
+    # concurrent writer's staged output) must not leak rows into a
+    # committed dataset.
+    base = os.path.basename(os.path.abspath(out_dir))
+    paths = [os.path.join(out_dir, p["file"])
+             for p in manifest.get("parts", [])]
+    crcs = {f"{base}/{p['file']}": p["crc32"]
+            for p in manifest.get("parts", [])}
+    return _df_from_parts(spark, paths, crcs, schema, names,
+                          columns, predicate)

@@ -109,14 +109,56 @@ def stream_dedup(stream_df: DataFrame, col: str = "text",
     )
 
 
-def decode_stream(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All committed epochs as one DataFrame."""
-    from . import decode as zdec
+def decode_stream(spark: SparkSession, out_dir: str,
+                  columns: list[str] | None = None,
+                  predicate: list[tuple] | None = None) -> DataFrame:
+    """All committed epochs as one DataFrame — ONE binaryFile scan + one
+    mapInArrow over every committed part across every epoch (the schema
+    is identical across epochs by construction; this is asserted).
 
+    The naive per-epoch ``decode().unionByName()`` chain costs O(epochs)
+    plan nodes and driver-side manifest parses per query — at thousands
+    of epochs of a long-running stream the driver chokes before the
+    cluster does. Here the driver reads the manifests once, flattens the
+    (path, crc) list, and the executed plan carries a single scan node
+    regardless of epoch count. Per-epoch crcs stay enforced (the crc map
+    is keyed by "epoch-dir/file", so identically-named parts of
+    different epochs cannot alias)."""
+    import pyarrow as pa
+
+    from . import decode as zdec
+    from .encode import read_manifest
+    from .session import ship_package
+
+    ship_package(spark)
     epochs = committed_epochs(out_dir)
     if not epochs:
         raise FileNotFoundError(f"no committed epochs in {out_dir}")
-    df = zdec.decode(spark, epochs[0])
-    for d in epochs[1:]:
-        df = df.unionByName(zdec.decode(spark, d))
-    return df
+    paths: list[str] = []
+    crcs: dict[str, int] = {}
+    schema_hex: str | None = None
+    names: list[str] = []
+    for d in epochs:
+        m = read_manifest(d)
+        if m is None:  # raced with an in-flight commit; listed = committed
+            continue
+        if schema_hex is None:
+            schema_hex, names = m["schema"], list(m["schema_names"])
+        elif m["schema"] != schema_hex:
+            raise ValueError(
+                f"{d}: epoch schema differs from {epochs[0]} — the stream "
+                "was restarted with a different schema; compact or read "
+                "the epoch ranges separately")
+        base = os.path.basename(os.path.normpath(d))
+        for p in m.get("parts", []):
+            paths.append(os.path.join(d, p["file"]))
+            crcs[f"{base}/{p['file']}"] = p["crc32"]
+    if schema_hex is None:
+        raise FileNotFoundError(f"no committed epochs in {out_dir}")
+    if columns is not None:
+        missing = set(columns) - set(names)
+        if missing:
+            raise KeyError(f"zseq: unknown columns {sorted(missing)}")
+    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+    return zdec._df_from_parts(spark, paths, crcs, schema, names,
+                               columns, predicate)
