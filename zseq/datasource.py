@@ -75,6 +75,15 @@ class ZseqPartition(InputPartition):
 
 
 @dataclass
+class ZseqPartGroup(InputPartition):
+    """A batch-read task: several whole part files ((path, crc32) pairs).
+    Packing multiple blobs per InputPartition amortizes the per-partition
+    Python-runner setup the DataSource API pays (measured ~3x on a
+    many-small-parts corpus vs zseq.decode's one-scan plan)."""
+    files: tuple
+
+
+@dataclass
 class ZseqCommit(WriterCommitMessage):
     part: dict | None
 
@@ -190,9 +199,24 @@ class ZseqSourceReader(DataSourceReader):
         self._columns = ([c.strip() for c in cols.split(",") if c.strip()]
                          if cols else None)
         self._parts = [
-            (os.path.join(self._dir, p["file"]), p.get("crc32"))
+            (os.path.join(self._dir, p["file"]), p.get("crc32"),
+             int(p.get("enc_bytes", 0)))
             for p in m.get("parts", [])
         ]
+        # Task sizing: pack part files into ~target-byte groups, floored
+        # by the session's parallelism so a small corpus still fans out to
+        # every core. At scale (parts >= target bytes) this degenerates to
+        # one file per task — the same plan shape as zseq.decode.
+        self._target_bytes = int(
+            options.get("target_partition_bytes", 128 << 20))
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            self._min_tasks = (active.sparkContext.defaultParallelism
+                               if active else 8)
+        except Exception:
+            self._min_tasks = 8
         # Zone maps exist for int-kind chunks (ints, timestamps, dates in
         # their storage domain) — only those columns accept pushdown.
         import pyarrow as pa
@@ -260,15 +284,32 @@ class ZseqSourceReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [ZseqPartition(p, c) for p, c in self._parts]
+        total = sum(s for _, _, s in self._parts)
+        # effective group size: never larger than the byte target, never
+        # so large that fewer than min_tasks groups cover the dataset
+        eff = max(1, min(self._target_bytes,
+                         -(-total // max(1, self._min_tasks))))
+        groups: list[ZseqPartGroup] = []
+        cur: list[tuple] = []
+        cur_bytes = 0
+        for path, crc, size in self._parts:
+            if cur and cur_bytes + size > eff:
+                groups.append(ZseqPartGroup(tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append((path, crc))
+            cur_bytes += size
+        if cur:
+            groups.append(ZseqPartGroup(tuple(cur)))
+        return groups
 
-    def read(self, partition: ZseqPartition):
-        r = _read_verified_blob(partition.path, partition.crc32)
-        if list(r.schema.names) != self._names:
-            raise ValueError(
-                f"{partition.path}: schema {r.schema.names} != manifest "
-                f"{self._names}")
-        yield from r.batches(self._columns, self._predicate or None)
+    def read(self, partition: ZseqPartGroup):
+        for path, crc in partition.files:
+            r = _read_verified_blob(path, crc)
+            if list(r.schema.names) != self._names:
+                raise ValueError(
+                    f"{path}: schema {r.schema.names} != manifest "
+                    f"{self._names}")
+            yield from r.batches(self._columns, self._predicate or None)
 
 
 class ZseqSourceWriter(DataSourceArrowWriter):
