@@ -74,11 +74,14 @@ def test_pushdown_unit_prunes_blocks(registered, tmp_path_factory):
     r = ZseqSourceReader({"path": out})
     leftover = list(r.pushFilters([
         EqualTo(("n_tok",), HEAVY_LEN),
-        EqualTo(("source",), "web"),          # not int-kind: not pushed
-        StringStartsWith(("source",), "w"),   # unsupported type
+        EqualTo(("source",), "web"),          # string eq: pushed (r3)
+        StringStartsWith(("source",), "w"),   # pushed as a range (r3)
     ]))
     assert len(leftover) == 3                 # everything returned to Spark
-    assert r._predicate == [("n_tok", "=", HEAVY_LEN)]
+    assert r._predicate == [("n_tok", "=", HEAVY_LEN),
+                            ("source", "=", "web"),
+                            ("source", ">=", "w"),
+                            ("source", "<", b"x")]
     parts = r.partitions()
     got_rows = sum(b.num_rows for p in parts for b in r.read(p))
     # superset semantics: at least every matching row survives, but whole
@@ -291,3 +294,43 @@ def test_overwrite_is_atomic_against_stale_files(registered, tmp_path):
     second = {f for f in os.listdir(out) if f.endswith(".zseq")}
     assert first.isdisjoint(second)  # never clobbered in place
     assert registered.read.format("zseq").load(out).count() == 100
+
+
+def test_pushfilters_string_and_startswith(spark, tmp_path):
+    from pyspark.sql.datasource import (EqualTo, GreaterThanOrEqual, In,
+                                        StringStartsWith)
+
+    from zseq import encode as zenc
+    from zseq import synth
+    from zseq.datasource import ZseqSourceReader, register
+
+    register(spark)
+    out = str(tmp_path / "dsstr")
+    df = synth.tokens_df_range(spark, 1000, partitions=2)
+    zenc.encode(df, out, partitions=2)
+    r = ZseqSourceReader({"path": out})
+    handed_back = r.pushFilters([
+        GreaterThanOrEqual(("doc_id",), "doc_00000500"),
+        EqualTo(("source",), "web"),
+        In(("doc_id",), ("doc_00000001", "doc_00000002")),
+        StringStartsWith(("doc_id",), "doc_0000009"),
+        EqualTo(("doc_id",), 42),          # wrong literal type: not pushed
+    ])
+    assert len(list(handed_back)) == 5     # everything returned to Spark
+    preds = set(r._predicate)
+    assert ("doc_id", ">=", "doc_00000500") in preds
+    assert ("source", "=", "web") in preds
+    assert ("doc_id", "in", ("doc_00000001", "doc_00000002")) in preds
+    assert ("doc_id", ">=", "doc_0000009") in preds       # startswith lo
+    assert ("doc_id", "<", b"doc_0000009\x2f\xff"[:12]) not in preds
+    assert any(op == "<" and isinstance(v, bytes)
+               for _, op, v in r._predicate)              # startswith hi
+    assert not any(v == 42 for _, _, v in r._predicate)
+
+    # end to end: filtered DS read returns the exact rows
+    got = (spark.read.format("zseq").load(out)
+           .filter("doc_id >= 'doc_00000990'").count())
+    assert got == 10
+    got2 = (spark.read.format("zseq").load(out)
+            .filter("doc_id like 'doc_0000099%'").count())
+    assert got2 == 10

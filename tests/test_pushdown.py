@@ -106,3 +106,71 @@ def test_spark_decode_pushdown(spark, tmp_path):
     ).filter("n_tok = 2048")
     want = df.filter("n_tok = 2048").count()
     assert heavy.count() == want
+
+
+def test_string_predicate_skips_with_sorted_data():
+    # Sorted string column -> tight byte-bounds envelopes -> pruning.
+    ids = [f"doc_{i:08d}" for i in range(10000)]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "v": pa.array(np.arange(10000, dtype=np.int64))})
+    buf = zseqfile.encode_table(tbl.to_batches(max_chunksize=1000),
+                                schema=tbl.schema)
+    r = ZseqReader(buf)
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("doc_id", ">=", "doc_00009000")])),
+        schema=r.schema)
+    assert r.blocks_skipped == 9
+    assert r.blocks_read == 1
+    assert set(out.column("doc_id").to_pylist()) == set(ids[9000:])
+    # equality + in-list prune too
+    r2 = ZseqReader(buf)
+    list(r2.batches(predicate=[("doc_id", "=", "doc_00000500")]))
+    assert r2.blocks_read == 1 and r2.blocks_skipped == 9
+    r3 = ZseqReader(buf)
+    list(r3.batches(predicate=[
+        ("doc_id", "in", ("doc_00000500", "doc_00005500"))]))
+    assert r3.blocks_read == 2 and r3.blocks_skipped == 8
+
+
+def test_string_zone_truncation_is_conservative():
+    # Values longer than the 16-byte bound prefix: truncated lo stays a
+    # lower bound, incremented hi prefix stays an upper bound — a value
+    # inside the block is NEVER pruned away.
+    vals = ["prefix_aaaaaaaaaaaaaaaa_%04d" % i for i in range(100)] \
+        + ["prefix_zzzzzzzzzzzzzzzz_%04d" % i for i in range(100)]
+    tbl = pa.table({"s": pa.array(vals),
+                    "v": pa.array(np.arange(200, dtype=np.int64))})
+    buf = zseqfile.encode_table(tbl.to_batches(max_chunksize=100),
+                                schema=tbl.schema)
+    r = ZseqReader(buf)
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("s", "=", vals[150])])), schema=r.schema)
+    assert vals[150] in set(out.column("s").to_pylist())
+    # just above the truncated prefix the envelope CANNOT prove empty
+    # (the incremented-hi bound covers it) — superset semantics, no skip
+    r2 = ZseqReader(buf)
+    list(r2.batches(predicate=[("s", ">", "prefix_zzzzzzzzzzzzzzzza")]))
+    assert r2.blocks_skipped == 1  # only the prefix_aaa... block prunes
+    # a value above every block's incremented-hi bound prunes everything
+    r3 = ZseqReader(buf)
+    out3 = pa.Table.from_batches(
+        list(r3.batches(predicate=[("s", ">", "prefix_~")])),
+        schema=r3.schema)
+    assert out3.num_rows == 0
+    assert r3.blocks_skipped == 2
+
+
+def test_string_nulls_and_type_mismatch_stay_conservative():
+    tbl = pa.table({"s": pa.array(["b", None, "d", "a"]),
+                    "v": pa.array(np.arange(4, dtype=np.int64))})
+    buf = zseqfile.encode_table(tbl.to_batches(), schema=tbl.schema)
+    r = ZseqReader(buf)
+    # nulls encode as "" -> lo bound "" -> never wrongly pruned
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("s", "<=", "a")])), schema=r.schema)
+    assert out.num_rows == 4
+    # int literal against a string zone map: conjunct skipped, not crashed
+    r2 = ZseqReader(buf)
+    out2 = pa.Table.from_batches(
+        list(r2.batches(predicate=[("s", ">", 42)])), schema=r2.schema)
+    assert out2.num_rows == 4

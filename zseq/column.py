@@ -19,9 +19,19 @@ Column chunk wire format:
 
     flags bit0: has validity bitmap
     validity:   nbytes u32 LE + LSB-first bitmap (np.packbits little)
+    flags bit1: has byte-bounds zone map (BINARY field chunks only)
+    zone:       lo_len u8 + lo + hi_len u8 + hi — an inclusive [lo, hi]
+                envelope of every value's bytes. Bounds are truncated to
+                16 bytes: lo is a prefix of the true min (a prefix sorts
+                <= the full string, so it stays a valid lower bound); hi
+                is the true max when it fits, else the max's prefix with
+                its last non-0xFF byte incremented (the parquet
+                truncated-statistics trick — strictly above anything
+                carrying that prefix, so pruning stays conservative).
 
-    Zone maps are DERIVED from codec headers (intcodecs.segment_zone),
-    not stored — block pruning costs zero bytes.
+    Int zone maps are DERIVED from codec headers (intcodecs.segment_zone),
+    not stored — int block pruning costs zero bytes. Byte bounds cost
+    <= 36 bytes per binary field chunk.
 
     kind 1 INT     width u8, signed u8, int segment (values widened to i64)
     kind 2 DOUBLE  mode u8 + int segment:
@@ -117,9 +127,12 @@ def _int_values(arr: pa.Array, np_dtype) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_column(arr: pa.Array, stats: dict | None = None,
-                  path: str = "") -> bytes:
+                  path: str = "", zone: bool = False) -> bytes:
     """Encode one Arrow array as a column chunk. ``stats`` (optional dict)
-    collects {path: codec_name} for lineage metrics."""
+    collects {path: codec_name} for lineage metrics. ``zone=True`` (set by
+    the block writer for top-level fields only) stores byte-bounds zone
+    maps on binary/string chunks; child chunks never pay for them because
+    block pruning only consults field-root headers."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -220,7 +233,10 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         lengths = np.diff(offs)
         seg = BC.encode_binary(lengths, data)
         note(seg[0], BC.BIN_CODEC_NAMES)
-        return head(K_BINARY) + struct.pack("<B", utf8) + seg
+        zseg = _bin_bounds(a) if (zone and n) else b""
+        flags = (1 if valid is not None else 0) | (2 if zseg else 0)
+        return (_HEAD.pack(K_BINARY, flags) + vseg + zseg
+                + struct.pack("<B", utf8) + seg)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
@@ -328,10 +344,41 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
 
 
 def encode_column_reversed(arr: pa.Array, stats: dict | None = None,
-                           path: str = "") -> bytes:
+                           path: str = "", zone: bool = False) -> bytes:
     """Wrap a column chunk in the Reversed marker (striped.rs:490-513):
     the inner bytes are identical; only the ordering semantics differ."""
-    return _HEAD.pack(K_REVERSED, 0) + encode_column(arr, stats, path)
+    return _HEAD.pack(K_REVERSED, 0) + encode_column(arr, stats, path, zone)
+
+
+ZONE_PREFIX = 16
+
+
+def _bin_bounds(a: pa.Array) -> bytes:
+    """Byte-bounds zone section for a binary/string array (see module
+    docstring): u8 lo_len + lo + u8 hi_len + hi, an inclusive [lo, hi]
+    envelope of every value's bytes, or b"" when no finite bound exists."""
+    try:
+        mm = pc.min_max(a)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    except pa.lib.ArrowNotImplementedError:
+        return b""
+    if lo is None or hi is None:
+        return b""
+    if isinstance(lo, str):
+        lo, hi = lo.encode(), hi.encode()
+    lo_b = lo[:ZONE_PREFIX]
+    if len(hi) <= ZONE_PREFIX:
+        hi_b = hi
+    else:
+        p = bytearray(hi[:ZONE_PREFIX])
+        for i in range(len(p) - 1, -1, -1):
+            if p[i] != 0xFF:
+                p[i] += 1
+                hi_b = bytes(p[: i + 1])
+                break
+        else:
+            return b""  # all-0xFF prefix: no finite upper bound
+    return bytes([len(lo_b)]) + lo_b + bytes([len(hi_b)]) + hi_b
 
 
 def mark_reversed(schema: pa.Schema, cols: list[str]) -> pa.Schema:
@@ -384,10 +431,11 @@ def _unscale_doubles(mode: int, ints: np.ndarray) -> np.ndarray:
     return ints / _SCALES[mode - 1]
 
 
-def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple[int, int] | None]:
+def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple | None]:
     """(kind, zone_map) from a chunk header WITHOUT decoding the body.
-    The zone map is derived from the int segment's codec parameters
-    (intcodecs.segment_zone) — nothing extra is stored."""
+    Int zone maps are (lo, hi) ints derived from the codec parameters
+    (intcodecs.segment_zone) — nothing stored; binary zone maps are
+    (lo, hi) bytes read from the chunk's zone section."""
     mv = memoryview(buf)
     kind, flags = _HEAD.unpack_from(mv, offset)
     pos = offset + _HEAD.size
@@ -395,12 +443,22 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple[int, int] | None]:
         (nbytes,) = struct.unpack_from("<I", mv, pos)
         pos += 4 + nbytes
     zm = None
+    if flags & 2:
+        (ll,) = struct.unpack_from("<B", mv, pos)
+        lo = bytes(mv[pos + 1 : pos + 1 + ll])
+        pos += 1 + ll
+        (hl,) = struct.unpack_from("<B", mv, pos)
+        hi = bytes(mv[pos + 1 : pos + 1 + hl])
+        pos += 1 + hl
+        zm = (lo, hi)
     if kind == K_REVERSED:
         # No-op wrapper: zone maps come from the inner chunk.
         return chunk_stats(mv, pos, n)
     if kind == K_INT:
         pos += 2  # width, signed
         zm = IC.segment_zone(mv, pos, n)
+    elif kind != K_BINARY:
+        zm = None
     return kind, zm
 
 
@@ -424,6 +482,12 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         pos += nbytes
         valid = np.unpackbits(bits, count=n, bitorder="little").astype(bool)
         validity_buf = pa.py_buffer(bits.tobytes())
+    if flags & 2:
+        # byte-bounds zone section: pruning metadata only — skip
+        (ll,) = struct.unpack_from("<B", mv, pos)
+        pos += 1 + ll
+        (hl,) = struct.unpack_from("<B", mv, pos)
+        pos += 1 + hl
 
     if kind == K_INT:
         width, signed = struct.unpack_from("<BB", mv, pos)

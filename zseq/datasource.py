@@ -8,11 +8,11 @@ read
     One InputPartition per committed part file (manifest-driven, so a
     blob never splits and one task decodes one file — same plan shape as
     ``zseq.decode``). Catalyst pushes comparison filters through
-    ``pushFilters()``; simple int comparisons become zone-map block
-    pruning inside the reader (a conservative superset — whole blocks are
-    skipped without decompression), and ALL filters are handed back to
-    Spark so exact row filtering still happens JVM-side: the parquet
-    model. Column pruning: ``.option("columns", "a,b")`` (the Python DS
+    ``pushFilters()``; int, timestamp/date, string, and startswith
+    comparisons become zone-map block pruning inside the reader (a
+    conservative superset — whole blocks are skipped without
+    decompression), and ALL filters are handed back to Spark so exact row
+    filtering still happens JVM-side: the parquet model. Column pruning: ``.option("columns", "a,b")`` (the Python DS
     API has no required-columns pushdown yet); pruned columns are seeked
     past in the blob, never decompressed.
 
@@ -158,6 +158,17 @@ class ZseqDataSource(DataSource):
         return ZseqStreamReader(dict(self.options))
 
 
+def _prefix_upper(p: bytes) -> bytes | None:
+    """Smallest byte string strictly above every string with prefix ``p``
+    (last non-0xFF byte incremented), or None when no finite bound."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            b[i] += 1
+            return bytes(b[: i + 1])
+    return None
+
+
 def pa_select(schema, keep: list[str]):
     """Project an Arrow schema to ``keep`` in file order."""
     import pyarrow as pa
@@ -218,21 +229,25 @@ class ZseqSourceReader(DataSourceReader):
         except Exception:
             self._min_tasks = 8
         # Zone maps exist for int-kind chunks (ints, timestamps, dates in
-        # their storage domain) — only those columns accept pushdown.
+        # their storage domain) and for binary/string chunks (truncated
+        # byte bounds) — those columns accept pushdown.
         import pyarrow as pa
 
         sch = _arrow_schema_from_manifest(m)
         self._pushtypes = {
             f.name: f.type for f in sch
             if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
+            or pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+            or pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
         }
         self._predicate: list[tuple] = []
 
-    def _storage_int(self, col: str, value) -> int | None:
-        """Catalyst literal -> the column's int storage domain (epoch
-        micros/nanos/millis/seconds for timestamps, epoch days for
-        dates), or None when the value is not exactly representable
-        (pruning must stay conservative, so we simply don't push)."""
+    def _storage_value(self, col: str, value) -> int | str | bytes | None:
+        """Catalyst literal -> the column's storage domain: ints stay
+        ints, timestamps/dates become their epoch storage ints, string
+        literals stay str (compared bytewise against byte-bounds zone
+        maps), bytes stay bytes. None when the value is not exactly
+        representable (pruning must stay conservative, so we don't push)."""
         import datetime
 
         import pyarrow as pa
@@ -240,6 +255,12 @@ class ZseqSourceReader(DataSourceReader):
         t = self._pushtypes.get(col)
         if t is None or isinstance(value, bool):
             return None
+        if isinstance(value, str):
+            return value if (pa.types.is_string(t)
+                             or pa.types.is_large_string(t)) else None
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value) if (pa.types.is_binary(t)
+                                    or pa.types.is_large_binary(t)) else None
         if isinstance(value, int):
             return value if pa.types.is_integer(t) else None
         if isinstance(value, datetime.datetime) and pa.types.is_timestamp(t):
@@ -264,19 +285,33 @@ class ZseqSourceReader(DataSourceReader):
         return None
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        from pyspark.sql.datasource import StringStartsWith
+
         for f in filters:
             if len(getattr(f, "attribute", ())) != 1:
                 continue
             col = f.attribute[0]
             if isinstance(f, In):
-                vals = [self._storage_int(col, v) for v in f.value]
+                vals = [self._storage_value(col, v) for v in f.value]
                 if vals and all(v is not None for v in vals):
                     self._predicate.append((col, "in", tuple(vals)))
+                continue
+            if isinstance(f, StringStartsWith):
+                # prefix p -> the range [p, increment(p)): every string
+                # with prefix p sorts inside it (bytewise == UTF-8
+                # codepoint order), so two range conjuncts prune exactly
+                # like parquet does for startswith.
+                p = self._storage_value(col, f.value)
+                if isinstance(p, str) and p:
+                    self._predicate.append((col, ">=", p))
+                    up = _prefix_upper(p.encode())
+                    if up is not None:
+                        self._predicate.append((col, "<", up))
                 continue
             op = _PUSHABLE.get(type(f))
             if op is None:
                 continue
-            v = self._storage_int(col, f.value)
+            v = self._storage_value(col, f.value)
             if v is not None:
                 self._predicate.append((col, op, v))
         # Block pruning is a conservative superset — every filter is

@@ -568,6 +568,29 @@ def q_pushdown_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cast(n_tok as bigint) as n_tok")
 
 
+def q_pushdown_predicate_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String zone-map predicate pushdown: byte-bounds [lo, hi] envelopes
+    stored in BINARY chunk headers prune whole blocks on a doc_id range
+    scan (the most common selective read at scale) — composed with an
+    exact Spark filter, so superset pruning yields the exact result."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_predstr_")
+    zenc.encode(df, out, partitions=4)
+    dec = zdec.decode(spark, out, columns=["doc_id", "n_tok"],
+                      predicate=[("doc_id", ">=", "doc_00000450")])
+    return dec.filter("doc_id >= 'doc_00000450'").selectExpr(
+        "doc_id", "cast(n_tok as bigint) as n_tok")
+
+
+_Q_PRED_STR_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok FROM ({inner})
+WHERE doc_id >= 'doc_00000450'
+"""
+
+
 _Q_PROJ_ORACLE_TMPL = """
 SELECT doc_id, cast(n_tok as bigint) as n_tok, source FROM ({inner})
 """
@@ -752,6 +775,7 @@ def queries() -> dict:
         "encode_metrics": q_encode_metrics,
         "pushdown_projection": q_pushdown_projection,
         "pushdown_predicate": q_pushdown_predicate,
+        "pushdown_predicate_str": q_pushdown_predicate_str,
         "text_analyze": q_text_analyze,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -815,6 +839,8 @@ def oracle_sql() -> dict:
         "pushdown_predicate": _Q_PRED_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents"),
             heavy=synth.HEAVY_LEN),
+        "pushdown_predicate_str": _Q_PRED_STR_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
         "text_analyze": _text_analyze_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),

@@ -88,10 +88,10 @@ class ZseqWriter:
         for i, name in enumerate(self.schema.names):
             if COL.is_reversed(self.schema.field(i)):
                 chunk = COL.encode_column_reversed(
-                    batch.column(i), self.codec_stats, name)
+                    batch.column(i), self.codec_stats, name, zone=True)
             else:
                 chunk = COL.encode_column(batch.column(i),
-                                          self.codec_stats, name)
+                                          self.codec_stats, name, zone=True)
             out.write(struct.pack("<I", len(chunk)))
             out.write(chunk)
             self.col_bytes[name] = (
@@ -146,9 +146,11 @@ class ZseqReader:
         ``columns``: decode only these fields (others are seeked past via
         their chunk-length prefix — zero decompression work).
         ``predicate``: conjunction of (col, op, value) with op in
-        {'>', '>=', '<', '<=', '=', '!='} over int-kind columns, values in
-        the storage domain (e.g. micros for timestamp[us]). Blocks whose
-        zone maps prove the conjunction empty are skipped whole. This is
+        {'>', '>=', '<', '<=', '=', '!=', 'in'} over int-kind columns
+        (values in the storage domain, e.g. micros for timestamp[us]) or
+        binary/string columns (str/bytes values, compared bytewise).
+        Blocks whose zone maps prove the conjunction empty are skipped
+        whole. This is
         block-level pruning, not row filtering: surviving blocks may still
         contain non-matching rows (Spark's own filter handles those).
         """
@@ -243,16 +245,43 @@ _OPS = {
 }
 
 
+def _coerce_zone_value(x, lo):
+    """Coerce a predicate literal into the zone map's domain (int for
+    int-kind zone maps, bytes for byte-bounds maps); None = not
+    comparable, so the conjunct can't prune (stays conservative)."""
+    if isinstance(lo, int):
+        if isinstance(x, bool) or not isinstance(x, (int, np.integer)):
+            return None
+        return int(x)
+    if isinstance(x, str):
+        return x.encode()
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x)
+    return None
+
+
 def _block_provably_empty(predicate, zonemaps) -> bool:
-    """True when any conjunct can't match the block's zone map."""
+    """True when any conjunct can't match the block's zone map. Zone maps
+    are inclusive [lo, hi] envelopes — ints for int-kind columns, byte
+    strings for binary/string columns (possibly truncated, still
+    enveloping) — and the op table below works identically on both."""
     for col, op, value in predicate:
         zm = zonemaps.get(col)
         if zm is None:
             continue  # no stats -> can't prune on this conjunct
         if op not in _OPS:
             raise ValueError(f"zseq: unsupported predicate op {op!r}")
-        v = tuple(int(x) for x in value) if op == "in" else int(value)
-        if not _OPS[op](zm[0], zm[1], v):
+        lo, hi = zm
+        if op == "in":
+            vs = [_coerce_zone_value(x, lo) for x in value]
+            if not vs or any(x is None for x in vs):
+                continue
+            v = tuple(vs)
+        else:
+            v = _coerce_zone_value(value, lo)
+            if v is None:
+                continue
+        if not _OPS[op](lo, hi, v):
             return True
     return False
 
