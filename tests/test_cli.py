@@ -78,3 +78,86 @@ def test_verify_cli_handles_map_columns(spark, tmp_path):
     df.write.mode("overwrite").parquet(src)
     zenc.encode(spark.read.parquet(src), enc, partitions=2)
     assert main(["verify", src, enc]) == 0
+
+
+def test_verify_cli_handles_nested_maps(spark, tmp_path):
+    """Maps nested inside structs and arrays must normalize too (top-
+    level-only rewriting made exceptAll raise AnalysisException)."""
+    df = spark.createDataFrame(
+        [(1, ({"a": 1},), [{"x": 9}]), (2, ({"b": 2},), []),
+         (3, (None,), [{}])],
+        "k long, s struct<m: map<string,int>>, am array<map<string,int>>")
+    src = str(tmp_path / "nsrc")
+    enc = str(tmp_path / "nenc")
+    df.write.mode("overwrite").parquet(src)
+    zenc.encode(spark.read.parquet(src), enc, partitions=2)
+    assert main(["verify", src, enc]) == 0
+
+
+def test_vacuum_removes_aged_orphans_only(spark, tmp_path, capsys):
+    import os
+    import time
+
+    out = str(tmp_path / "vac")
+    df = synth.tokens_df_range(spark, 200, partitions=2)
+    zenc.encode(df, out, partitions=2)
+    # orphans: an aged crashed-write leftover and a FRESH one
+    old = os.path.join(out, "part-deadbeef-00099.zseq")
+    fresh = os.path.join(out, "part-cafecafe-00098.zseq")
+    tmpf = os.path.join(out, "part-deadbeef-00097.zseq.tmp-123")
+    for p in (old, fresh, tmpf):
+        open(p, "wb").write(b"junk")
+    past = time.time() - 100000
+    os.utime(old, (past, past))
+    os.utime(tmpf, (past, past))
+    # dry run removes nothing
+    assert main(["vacuum", out, "--dry-run"]) == 0
+    assert os.path.exists(old) and os.path.exists(tmpf)
+    assert main(["vacuum", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["removed"] == 2
+    assert not os.path.exists(old) and not os.path.exists(tmpf)
+    assert os.path.exists(fresh)  # age gate spares a running writer
+    # committed parts untouched, dataset still decodes
+    from zseq import decode as zdec
+
+    assert zdec.decode(spark, out).count() == 200
+
+
+def test_vacuum_refuses_uncommitted_dir(tmp_path):
+    import os
+
+    d = str(tmp_path / "novac")
+    os.makedirs(d)
+    open(os.path.join(d, "part-aaaa-00000.zseq"), "wb").write(b"x")
+    with pytest.raises(FileNotFoundError):
+        main(["vacuum", d])
+
+
+def test_vacuum_epoch_layout(spark, tmp_path, capsys):
+    import os
+    import time
+
+    from zseq import streaming
+
+    out = str(tmp_path / "vstream")
+    df = synth.tokens_df_range(spark, 100, partitions=1)
+    # two committed epochs via the foreachBatch path
+    zenc.encode(df, streaming.epoch_dir(out, 0), partitions=1)
+    zenc.encode(df, streaming.epoch_dir(out, 1), partitions=1)
+    staging = os.path.join(out, ".staging")
+    os.makedirs(staging)
+    past = time.time() - 100000
+    stale = os.path.join(staging, "part-beef-00001.zseq")
+    open(stale, "wb").write(b"junk")
+    os.utime(stale, (past, past))
+    dead = streaming.epoch_dir(out, 7)  # uncommitted epoch, aged debris
+    os.makedirs(dead)
+    deadf = os.path.join(dead, "part-00000.zseq")
+    open(deadf, "wb").write(b"junk")
+    os.utime(deadf, (past, past))
+    assert main(["vacuum", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["removed"] == 2
+    assert not os.path.exists(stale) and not os.path.exists(dead)
+    assert streaming.decode_stream(spark, out).count() == 200

@@ -75,7 +75,8 @@ def test_simhash_locality(spark, docs):
     assert ham(100, 101) <= 16         # near-dup is close
     assert ham(100, 200) > 16          # unrelated is far
     pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_near_pairs(sh, max_hamming=16).collect()}
+             for r in dedup.simhash_near_pairs(sh, max_hamming=16,
+                                      allow_wide_buckets=True).collect()}
     assert pairs.get((100, 102)) == 0
     assert (100, 101) in pairs
 
@@ -251,3 +252,17 @@ def test_simhash_radius_zero_single_block(spark):
     found = {(r.doc_a, r.doc_b): r.hamming
              for r in dedup.simhash_near_pairs(sh, max_hamming=0).collect()}
     assert found == {(1, 2): 0}
+
+
+def test_simhash_wide_bucket_guard(spark):
+    import pytest as _pytest
+
+    from zseq import dedup
+
+    sh = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError, match="allow_wide_buckets"):
+        dedup.simhash_near_pairs(sh, max_hamming=12)
+    # explicit opt-in works; radius <= 7 needs no opt-in
+    dedup.simhash_near_pairs(sh, max_hamming=12,
+                             allow_wide_buckets=True).count()
+    dedup.simhash_near_pairs(sh, max_hamming=7).count()

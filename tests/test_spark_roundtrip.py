@@ -211,3 +211,59 @@ def test_reencode_into_committed_dir_is_atomic(spark, tokens_df, tmp_path):
     second = {f for f in os.listdir(out) if f.endswith(".zseq")}
     assert first.isdisjoint(second)
     assert zdec.decode(spark, out).count() == 100
+
+
+def test_resume_refuses_zstd_level_change(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "zl")
+    zenc.encode(tokens_df, out, partitions=2, mode="hash", zstd_level=3)
+    with pytest.raises(ValueError, match="zstd_level"):
+        zenc.encode(tokens_df, out, partitions=2, mode="hash",
+                    resume=True, zstd_level=9)
+    # same level resumes fine
+    zenc.encode(tokens_df, out, partitions=2, mode="hash",
+                resume=True, zstd_level=3)
+
+
+def test_encode_parquet_schema_drift_named_up_front(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "drift")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "v": pa.array(["a", "b"])}),
+                   os.path.join(src, "a.parquet"))
+    pq.write_table(pa.table({"k": pa.array([3.5], pa.float64()),  # drift
+                             "v": pa.array(["c"])}),
+                   os.path.join(src, "b.parquet"))
+    out = str(tmp_path / "driftout")
+    with pytest.raises(ValueError, match="b.parquet"):
+        zenc.encode_parquet(spark, src, out)
+    # a column-projected encode that avoids the drifting column works
+    res = zenc.encode_parquet(spark, src, out, columns=["v"])
+    assert res.total_rows == 3
+
+
+def test_nested_map_parquet_roundtrip(spark, tmp_path):
+    """Regression: map arrays crossing the JVM->Python Arrow boundary
+    segfault this Spark/pyarrow pairing intermittently (worst with
+    parquet-scanned list<map>); encode strips maps to entries arrays
+    JVM-side and rebuilds them worker-side (strip_maps_df/_restore_maps),
+    so the roundtrip must be exact for every nesting shape."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, ({"x": 1.5},), [{"k": 2}]),
+         (2, {}, ({},), []),
+         (3, None, (None,), [{}]),
+         (4, {"b": 7, "c": 8}, ({"y": -0.0},), [{"m": 1}, {}])],
+        "k long, m map<string,int>, s struct<im: map<string,double>>, "
+        "am array<map<string,int>>")
+    src = str(tmp_path / "nmsrc")
+    out = str(tmp_path / "nmenc")
+    df.write.mode("overwrite").parquet(src)
+    back_src = spark.read.parquet(src)
+    zenc.encode(back_src, out, partitions=4)
+    got = sorted([tuple(r) for r in zdec.decode(spark, out).collect()])
+    want = sorted([tuple(r) for r in back_src.collect()])
+    assert got == want

@@ -10,6 +10,8 @@
                            small-file GC for the streaming sink)
     python -m zseq verify  INPUT_PARQUET_DIR ENC_DIR      (bit-identical gate,
                            distributed exceptAll — no driver collect)
+    python -m zseq vacuum  ENC_DIR [--min-age-sec N]      (age-gated GC of
+                           unreferenced orphans from crashed writes)
     python -m zseq synth   OUT_PARQUET_DIR --docs N       (deterministic corpus)
 
 Run standalone (builds its own local SparkSession) or via
@@ -101,14 +103,44 @@ def cmd_verify(args) -> int:
     src = spark.read.parquet(args.input)
     dec = zdec.decode(spark, args.enc).select(src.columns)
 
-    def comparable(df):
+    def has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    def norm(col, dt):
         # Spark refuses set operations on map columns; a map compares as
-        # its sorted entry list (order-insensitive, content-exact).
+        # its sorted entry list (order-insensitive, content-exact) — at
+        # ANY nesting depth (maps inside structs/arrays included).
+        if isinstance(dt, T.MapType):
+            entries = F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    norm(e["key"], dt.keyType).alias("key"),
+                    norm(e["value"], dt.valueType).alias("value")))
+            return F.array_sort(entries)
+        if isinstance(dt, T.ArrayType) and has_map(dt.elementType):
+            return F.transform(col, lambda x: norm(x, dt.elementType))
+        if isinstance(dt, T.StructType) and has_map(dt):
+            # rebuild only map-carrying structs; preserve struct-level
+            # nullness (a null struct must not normalize to a struct of
+            # nulls, which would mask real differences)
+            rebuilt = F.struct(*[
+                norm(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields])
+            return F.when(col.isNotNull(), rebuilt)
+        return col
+
+    def comparable(df):
         out = df
         for f in df.schema.fields:
-            if isinstance(f.dataType, T.MapType):
-                out = out.withColumn(
-                    f.name, F.array_sort(F.map_entries(F.col(f.name))))
+            if has_map(f.dataType):
+                out = out.withColumn(f.name, norm(F.col(f.name),
+                                                  f.dataType))
         return out
 
     src, dec = comparable(src), comparable(dec)
@@ -203,6 +235,19 @@ def cmd_dump(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Age-gated GC of unreferenced .zseq orphans (crashed pre-commit
+    writes) in a committed batch dataset or a streaming-epoch layout —
+    the explicit sweep gc_unreferenced is not entitled to do."""
+    from .encode import vacuum
+
+    removed = vacuum(args.input, min_age_sec=args.min_age_sec,
+                     dry_run=args.dry_run)
+    print(json.dumps({"removed": len(removed), "dry_run": args.dry_run,
+                      "files": [p.rsplit("/", 1)[-1] for p in removed]}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     spark = _spark(args)
     from . import synth
@@ -256,6 +301,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("out")
     c.add_argument("--partitions", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    vac = sub.add_parser("vacuum")
+    vac.add_argument("input")
+    vac.add_argument("--min-age-sec", type=float, default=86400.0,
+                     help="only remove files at least this old (protects "
+                          "a concurrently running writer's fresh parts)")
+    vac.add_argument("--dry-run", action="store_true")
+    vac.set_defaults(fn=cmd_vacuum)
 
     du = sub.add_parser("dump")
     du.add_argument("input")

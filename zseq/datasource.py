@@ -386,10 +386,10 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from .encode import _encode_table_to_file
+        from .encode import _encode_table_to_file, own_batches
 
         t0 = time.time()
-        batches = list(iterator)
+        batches = own_batches(list(iterator))
         if not batches:
             return ZseqCommit(None)
         pid = TaskContext.get().partitionId()
@@ -447,6 +447,8 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
     """
 
     def __init__(self, options: dict, schema: StructType):
+        import uuid
+
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._dir = options.get("path")
@@ -460,6 +462,11 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         self._cluster = str(options.get("cluster", "true")).lower() != "false"
         self._batch_rows = int(options.get("batch_rows", 1 << 16))
         self._schema = to_arrow_schema(schema)
+        # Query-unique staging token: two concurrent streaming queries
+        # writing the same path must never GC each other's staged parts
+        # (a shared .staging sweep would make the victim's os.replace at
+        # commit fail and abort its micro-batch).
+        self._token = uuid.uuid4().hex[:8]
         self._staging = os.path.join(self._dir, ".staging")
         os.makedirs(self._staging, exist_ok=True)
 
@@ -469,10 +476,10 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from .encode import _encode_table_to_file
+        from .encode import _encode_table_to_file, own_batches
 
         t0 = time.time()
-        batches = list(iterator)
+        batches = own_batches(list(iterator))
         if not batches:
             return ZseqCommit(None)
         # Task attempt id is unique across retries within the query run —
@@ -481,7 +488,8 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         tbl = pa.Table.from_batches(batches).combine_chunks()
         row = _encode_table_to_file(
             tbl, self._staging, aid, self._schema, self._cluster,
-            self._batch_rows, t0, self._zstd)
+            self._batch_rows, t0, self._zstd,
+            fname=f"part-{self._token}-{aid:05d}.zseq")
         return ZseqCommit(row)
 
     def commit(self, messages, batchId: int) -> None:
@@ -515,18 +523,21 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
         _atomic_write_json(os.path.join(dest, "manifest.json"), manifest)
 
     def _gc_staging(self) -> None:
-        """Remove staged leftovers from dead/superseded task attempts.
-        Safe at commit time: the epoch's surviving files were just moved
-        out, every other staged file belongs to an attempt whose commit
-        message never arrived (its epoch is committed or aborted), and a
-        still-running zombie writes tmp-then-rename, so at worst its
-        orphan reappears and the NEXT commit collects it."""
+        """Remove staged leftovers from THIS QUERY's dead/superseded task
+        attempts — only files carrying our query token. Safe at commit
+        time: our epoch's surviving files were just moved out, every
+        other token-matched file belongs to an attempt whose commit
+        message never arrived, and a still-running zombie writes
+        tmp-then-rename, so at worst its orphan reappears and the NEXT
+        commit collects it. A concurrent query's staged parts (different
+        token) are never touched."""
         try:
             names = os.listdir(self._staging)
         except OSError:
             return
+        prefix = f"part-{self._token}-"
         for f in names:
-            if f.endswith(".zseq"):
+            if f.startswith(prefix) and ".zseq" in f:
                 try:
                     os.remove(os.path.join(self._staging, f))
                 except OSError:

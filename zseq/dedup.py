@@ -280,7 +280,8 @@ def _block_bounds(n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
-                       blocks: int | None = None) -> DataFrame:
+                       blocks: int | None = None,
+                       allow_wide_buckets: bool = False) -> DataFrame:
     """Candidate generation by block buckets over the 64-bit signature,
     exact popcount verification.
 
@@ -293,10 +294,23 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
     10^12-row scale should keep max_hamming <= 3 (16-bit blocks, 65536
     buckets) or pass an explicit smaller ``blocks`` and accept the
     documented recall loss (pairs with > blocks-1 differing bits spread
-    across all blocks are missed)."""
+    across all blocks are missed).
+
+    Corpus-scale guard: block width < 8 bits means <= 256 distinct
+    buckets per block — at large corpus sizes the banded self-join
+    degenerates toward all-pairs (a candidate explosion, not a slow
+    path). Such configs are REFUSED unless ``allow_wide_buckets=True``
+    (legitimate on small corpora, e.g. a few thousand docs)."""
     n_blocks = (max_hamming + 1) if blocks is None else blocks
     if not 1 <= n_blocks <= 64:
         raise ValueError(f"simhash blocks must be in [1, 64]: {n_blocks}")
+    if 64 // n_blocks < 8 and not allow_wide_buckets:
+        raise ValueError(
+            f"simhash: {n_blocks} blocks -> {64 // n_blocks}-bit buckets "
+            "— at corpus scale the banded join degenerates to "
+            "near-all-pairs. Reduce max_hamming (<= 7), pass explicit "
+            "blocks <= 8, or opt in with allow_wide_buckets=True for "
+            "small corpora.")
     bounds = _block_bounds(n_blocks)
 
     def block_val(off: int, w: int):

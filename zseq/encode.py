@@ -145,6 +145,157 @@ class EncodeResult:
         return sum(p["enc_bytes"] for p in self.parts)
 
 
+def _type_has_map(t: pa.DataType) -> bool:
+    if pa.types.is_map(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _type_has_map(t.value_type)
+    if pa.types.is_struct(t) or pa.types.is_union(t):
+        return any(_type_has_map(t.field(i).type)
+                   for i in range(t.num_fields))
+    return False
+
+
+def strip_maps_df(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Replace every map-bearing column with its map-free equivalent
+    (map -> array<struct<key,value>> via map_entries, recursively through
+    structs/arrays, preserving null slots at every level). Returns
+    (stripped df, whether anything changed).
+
+    Why: transferring Arrow MAP arrays from the JVM into Python workers
+    segfaults intermittently in this Spark/pyarrow pairing (observed:
+    worker crashes at the first buffer-walking op on a parquet-scanned
+    list<map> column; even an IPC re-copy of the delivered batch carries
+    the corruption). Entries arrays are plain lists of structs — the
+    shape that transfers reliably — and ``_restore_maps`` rebuilds true
+    map arrays worker-side into self-owned buffers, so the .zseq format
+    and the decode path are completely unchanged."""
+    from pyspark.sql import types as T
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    def strip(col, dt):
+        if isinstance(dt, T.MapType):
+            entries = F.map_entries(col)
+            if has_map(dt.keyType) or has_map(dt.valueType):
+                entries = F.transform(entries, lambda e: F.struct(
+                    strip(e["key"], dt.keyType).alias("key"),
+                    strip(e["value"], dt.valueType).alias("value")))
+            return entries
+        if isinstance(dt, T.ArrayType) and has_map(dt.elementType):
+            return F.transform(col, lambda x: strip(x, dt.elementType))
+        if isinstance(dt, T.StructType) and has_map(dt):
+            rebuilt = F.struct(*[
+                strip(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields])
+            return F.when(col.isNotNull(), rebuilt)
+        return col
+
+    changed = False
+    cols = []
+    for f in df.schema.fields:
+        if has_map(f.dataType):
+            changed = True
+            cols.append(strip(F.col(f.name), f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return (df.select(*cols) if changed else df), changed
+
+
+def _restore_maps(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Worker-side inverse of ``strip_maps_df``: rebuild map arrays (per
+    the target ``schema``) from the transferred entries arrays, into
+    fully self-owned buffers."""
+    def rebuild(arr: pa.Array, want: pa.DataType) -> pa.Array:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.type == want:
+            return arr
+        n = len(arr)
+        valid = None
+        if arr.null_count:
+            bits = np.packbits(
+                pc.is_valid(arr).to_numpy(zero_copy_only=False),
+                bitorder="little")
+            valid = pa.py_buffer(bits.tobytes())
+        if pa.types.is_map(want):
+            lengths = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
+                if lengths.dtype.kind == "f" else lengths.astype(np.int64)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            offs[1:] = np.cumsum(lengths)
+            flat = arr.flatten()
+            entry_type = pa.struct([want.key_field, want.item_field])
+            entries = pa.StructArray.from_arrays(
+                [rebuild(flat.field(0), want.key_type),
+                 rebuild(flat.field(1), want.item_type)],
+                fields=[entry_type.field(0), entry_type.field(1)])
+            return pa.Array.from_buffers(
+                want, n, [valid, pa.py_buffer(offs.tobytes())],
+                children=[entries])
+        if pa.types.is_list(want) or pa.types.is_large_list(want):
+            lengths = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
+                if lengths.dtype.kind == "f" else lengths.astype(np.int64)
+            odt = "<i8" if pa.types.is_large_list(want) else "<i4"
+            offs = np.zeros(n + 1, dtype=np.int64)
+            offs[1:] = np.cumsum(lengths)
+            child = rebuild(arr.flatten(), want.value_type)
+            return pa.Array.from_buffers(
+                want, n, [valid, pa.py_buffer(offs.astype(odt).tobytes())],
+                children=[child])
+        if pa.types.is_struct(want):
+            children = [
+                rebuild(arr.field(i), want.field(i).type)
+                for i in range(want.num_fields)]
+            return pa.Array.from_buffers(
+                want, n, [valid], children=children)
+        raise TypeError(
+            f"cannot restore {arr.type} to {want}")  # pragma: no cover
+
+    cols = []
+    for i, name in enumerate(schema.names):
+        want = schema.field(i).type
+        col = tbl.column(name)
+        if _type_has_map(want):
+            col = rebuild(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col, want)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def own_batches(batches: list) -> list:
+    """Defensive copy for map-typed inputs: Spark-delivered zero-copy
+    Arrow batches with map columns intermittently segfault pyarrow later
+    in the task (observed as Table.from_batches / buffer reads crashing
+    the worker — a JVM-owned-buffer lifetime issue, reproducible under
+    the test harness). An IPC roundtrip re-materializes the batch into
+    self-owned buffers; only map-bearing schemas pay the memcpy.
+    Second-line defense for the DataSource writers, whose input batches
+    Spark produces directly (``strip_maps_df`` cannot intercept them)."""
+    if not batches or not any(
+            _type_has_map(f.type) for f in batches[0].schema):
+        return batches
+    out: list = []
+    for b in batches:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        out.extend(
+            pa.ipc.open_stream(sink.getvalue()).read_all().to_batches())
+    return out
+
+
 def _cluster_order(tbl: pa.Table) -> np.ndarray | None:
     """Row order by (bit width of per-row max |value| of the first list
     column, list length). Returns None when there is nothing to cluster."""
@@ -269,6 +420,8 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
         if not got:
             return
         tbl = pa.Table.from_batches(got).combine_chunks()
+        if any(_type_has_map(f.type) for f in schema):
+            tbl = _restore_maps(tbl, schema)
         fname = f"part-{token}-{pid:05d}.zseq" if token else None
         row = _encode_table_to_file(
             tbl, out_dir, pid, schema, cluster, batch_rows, t0,
@@ -380,6 +533,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
                     f"resume with partitions={P} but manifest has "
                     f"{prev['partitions']} — hash assignment would differ"
                 )
+            _check_resume_zstd(prev, zstd_level)
             for p in prev.get("parts", []):
                 path = os.path.join(out_dir, p["file"])
                 if os.path.exists(path):
@@ -393,6 +547,10 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         from .column import mark_reversed
 
         arrow_schema = mark_reversed(arrow_schema, reversed_cols)
+    # Map columns cross the JVM->Python boundary as entries arrays (see
+    # strip_maps_df) and are rebuilt to true maps inside the worker; the
+    # committed schema/format is the original, map-typed one.
+    df, _ = strip_maps_df(df)
     parts: list[dict] = []
     if mode == "salted":
         work = _salted_repartition(df, P, key)
@@ -431,6 +589,21 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
+
+
+def _check_resume_zstd(prev: dict, zstd_level: int | None) -> None:
+    """Resume reuses parts encoded at the PREVIOUS run's zstd level; a
+    different level this run would make the rewritten manifest's single
+    recorded zstd_level wrong for the reused parts (decode is unaffected
+    — zstd frames self-describe — but lineage must not lie). Refuse."""
+    prev_lvl = int(prev.get("zstd_level", 3) or 3)
+    this_lvl = int(zstd_level if zstd_level is not None else 3)
+    if prev_lvl != this_lvl:
+        raise ValueError(
+            f"resume: zstd_level {this_lvl} differs from the committed "
+            f"manifest's {prev_lvl} — reused parts would carry the wrong "
+            "lineage. Re-run with the original level, or without resume "
+            "to re-encode everything.")
 
 
 def _salted_repartition(df: DataFrame, P: int, key: str) -> DataFrame:
@@ -553,6 +726,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
                     "resume: input file list changed since the manifest "
                     "was committed"
                 )
+            _check_resume_zstd(prev, zstd_level)
             for p in prev.get("parts", []):
                 if os.path.exists(os.path.join(out_dir, p["file"])):
                     done_parts[p["part_id"]] = p
@@ -567,6 +741,33 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
     validate_zstd_level(zstd_level)
     arrow_schema = pq.read_schema(files[0])
+    # Schema-drift check UP FRONT (cheap footer reads, driver-side):
+    # a mismatching file otherwise surfaces as a cast failure inside some
+    # task minutes into the job, without naming the culprit. Field order
+    # may differ (tasks .select() into schema order); names + per-name
+    # types may not.
+    want = {f.name: f.type for f in arrow_schema}
+    for f in files[1:]:
+        got_schema = pq.read_schema(f)
+        got = {g.name: g.type for g in got_schema}
+        check = (set(columns) if columns else set(want))
+        if columns:
+            missing = check - set(got)
+            if missing:
+                raise ValueError(
+                    f"encode_parquet: {f} is missing column(s) "
+                    f"{sorted(missing)} present in {files[0]}")
+        elif set(got) != set(want):
+            raise ValueError(
+                f"encode_parquet: {f} schema fields {sorted(got)} != "
+                f"{sorted(want)} of {files[0]}")
+        drift = {c for c in check if c in got and got[c] != want[c]}
+        if drift:
+            raise ValueError(
+                f"encode_parquet: {f} column type(s) differ from "
+                f"{files[0]}: "
+                + ", ".join(f"{c}: {got[c]} != {want[c]}"
+                            for c in sorted(drift)))
     if columns:
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     if reversed_cols:
@@ -597,6 +798,77 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
+
+
+def vacuum(out_dir: str, min_age_sec: float = 86400.0,
+           dry_run: bool = False, _now: float | None = None) -> list[str]:
+    """Remove .zseq files (and their .tmp leftovers) that no committed
+    manifest references and that are older than ``min_age_sec``.
+
+    Why it exists: a batch encode that crashes BEFORE its manifest swap
+    leaves token-named orphans no later job is entitled to delete
+    (gc_unreferenced only touches superseded-manifest parts and the
+    running job's own token), so repeatedly failed writes leak disk in
+    long-lived directories. Vacuum is the explicit, age-gated sweep for
+    exactly those; the age gate keeps a concurrently RUNNING writer's
+    fresh parts safe.
+
+    Layouts: a committed batch dataset (keeps the manifest's parts), or
+    a streaming-epoch dir (keeps every committed epoch's parts, sweeps
+    aged .staging leftovers and aged uncommitted-epoch debris). A dir
+    with neither a manifest nor epochs is refused — a crashed encode's
+    parts may still be salvageable via decode(allow_partial=True).
+    """
+    now = _now if _now is not None else time.time()
+    removed: list[str] = []
+
+    def sweep(d: str, keep: set[str]) -> None:
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return
+        for f in names:
+            if ".zseq" not in f or f in keep:
+                continue
+            p = os.path.join(d, f)
+            try:
+                if now - os.stat(p).st_mtime < min_age_sec:
+                    continue
+            except OSError:
+                continue
+            removed.append(p)
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    m = read_manifest(out_dir)
+    epochs = [
+        n for n in sorted(os.listdir(out_dir)) if n.startswith("epoch-")
+    ] if os.path.isdir(out_dir) else []
+    if m is not None:
+        sweep(out_dir, {p["file"] for p in m.get("parts", [])})
+    elif epochs:
+        for name in epochs:
+            d = os.path.join(out_dir, name)
+            em = read_manifest(d)
+            sweep(d, {p["file"] for p in em.get("parts", [])}
+                  if em else set())
+            if em is None and not dry_run:
+                try:
+                    os.rmdir(d)  # uncommitted epoch, now empty
+                except OSError:
+                    pass
+        staging = os.path.join(out_dir, ".staging")
+        if os.path.isdir(staging):
+            sweep(staging, set())
+    else:
+        raise FileNotFoundError(
+            f"{out_dir}: no committed manifest or epochs — refusing to "
+            "vacuum (a crashed encode's parts may still be salvageable "
+            "via decode(allow_partial=True))")
+    return removed
 
 
 def to_arrow_schema(df: DataFrame) -> pa.Schema:

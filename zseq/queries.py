@@ -663,7 +663,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=12)
+    # max_hamming=12 -> 13 blocks of ~4 bits: fine on a 500-doc corpus,
+    # refused by default at scale — the explicit opt-in is the point.
+    return dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=12,
+                                    allow_wide_buckets=True)
 
 
 def q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:

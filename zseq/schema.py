@@ -160,7 +160,15 @@ def merge_maps(a: DataFrame, b: DataFrame, key: str,
     """Map (+) Map = key-wise merge (logical.rs:112-131). ``resolve``:
     'error' raises on conflicting values for the same key (the reference's
     primitive-merge semantics: values must be equal, logical.rs:248-271);
-    'left'/'right' pick a side."""
+    'left'/'right' pick a side.
+
+    DOCUMENTED DIVERGENCE from the reference: identical NaN/Inf doubles
+    merge cleanly here, whereas the reference's epsilon test
+    (logical.rs:262-271, abs(NaN) < eps == false) errors even on a value
+    merged with itself. Self-merge succeeding is the deliberate choice —
+    a distributed engine re-merges the same shard after retries, and a
+    NaN column must not poison an idempotent replay. Parity audits: this
+    is the one L5 behavior that intentionally differs."""
     value_cols = [c for c in a.columns if c != key]
     bj = b.select(key, *[F.col(c).alias(f"__b_{c}") for c in value_cols])
     joined = a.join(bj, on=key, how="full_outer")
