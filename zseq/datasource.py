@@ -33,6 +33,14 @@ Usage::
 
 Rebuilds the reference's convert entry point (zbra-cli main.rs:404-445)
 as a declarative Spark source/sink instead of a subcommand.
+
+Known environment caveat: this Spark/pyarrow pairing intermittently
+corrupts MAP-typed Arrow batches on the JVM->Python transfer (worst for
+deeply nested maps from parquet scans). ``zseq.encode`` sidesteps it by
+shipping maps as entries arrays (encode.strip_maps_df); the DataSource
+writers cannot pre-transform their input, so they defensively IPC-copy
+map-bearing batches (encode.own_batches). For heavy map-typed datasets
+prefer ``zseq.encode``/``zseq.decode``.
 """
 
 from __future__ import annotations

@@ -539,6 +539,22 @@ def q_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
 
+def q_roundtrip_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S17: the Reversed marker (striped.rs:490-513) through the full
+    distributed encode -> decode job — inner bytes are stored unchanged
+    (a no-op chunk wrapper + field metadata), so the decoded table must
+    be bit-identical to the plain roundtrip; zone maps pass through the
+    wrapper. Any wrapper framing bug breaks the oracle hash."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="zseq_rev_")
+    zenc.encode(df, out, partitions=4, reversed_cols=["n_tok", "source"])
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
 def q_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection pushdown: decode only 3 of 4 columns from the blobs
     (tokens, the heavy column, is seeked past — never decompressed)."""
@@ -739,6 +755,7 @@ def queries() -> dict:
         "tokens_synth": q_tokens_synth,
         "roundtrip_tokens": q_roundtrip_tokens,
         "roundtrip_salted": q_roundtrip_salted,
+        "roundtrip_reversed": q_roundtrip_reversed,
         "codec_zbra_pipeline": _int_roundtrip(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
             IC.T_ZBRA, "pk_rt"),
@@ -798,6 +815,7 @@ def oracle_sql() -> dict:
         "tokens_synth": _duck_tokens_checksums(),
         "roundtrip_tokens": _duck_tokens_checksums(),
         "roundtrip_salted": _duck_tokens_checksums(),
+        "roundtrip_reversed": _duck_tokens_checksums(),
         "codec_zbra_pipeline": _identity_oracle(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey", "pk_rt"),
         "codec_forbp": _identity_oracle(
