@@ -262,7 +262,9 @@ def test_simhash_wide_bucket_guard(spark):
     sh = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
     with _pytest.raises(ValueError, match="allow_wide_buckets"):
         dedup.simhash_near_pairs(sh, max_hamming=12)
-    # explicit opt-in works; radius <= 7 needs no opt-in
+    # explicit opt-in works; radius <= 7 needs no opt-in, and the
+    # DEFAULT configuration must not be self-refusing
     dedup.simhash_near_pairs(sh, max_hamming=12,
                              allow_wide_buckets=True).count()
     dedup.simhash_near_pairs(sh, max_hamming=7).count()
+    dedup.simhash_near_pairs(sh).count()

@@ -225,6 +225,10 @@ def test_resume_refuses_zstd_level_change(spark, tokens_df, tmp_path):
 
 
 def test_encode_parquet_schema_drift_named_up_front(spark, tmp_path):
+    """The up-front footer check mirrors exactly what the task path
+    tolerates: extra columns drop, castable widening rides tbl.cast;
+    only a missing required column or cast-incompatible drift is
+    refused — with the culprit file NAMED, before any task runs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -235,7 +239,7 @@ def test_encode_parquet_schema_drift_named_up_front(spark, tmp_path):
     pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
                              "v": pa.array(["a", "b"])}),
                    os.path.join(src, "a.parquet"))
-    pq.write_table(pa.table({"k": pa.array([3.5], pa.float64()),  # drift
+    pq.write_table(pa.table({"k": pa.array(["x"]),  # string: not castable
                              "v": pa.array(["c"])}),
                    os.path.join(src, "b.parquet"))
     out = str(tmp_path / "driftout")
@@ -244,6 +248,31 @@ def test_encode_parquet_schema_drift_named_up_front(spark, tmp_path):
     # a column-projected encode that avoids the drifting column works
     res = zenc.encode_parquet(spark, src, out, columns=["v"])
     assert res.total_rows == 3
+
+    # castable widening (int32 -> int64) + an extra column are accepted,
+    # exactly as the task path always handled them
+    src2 = str(tmp_path / "drift2")
+    os.makedirs(src2)
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "v": pa.array(["a", "b"])}),
+                   os.path.join(src2, "a.parquet"))
+    pq.write_table(pa.table({"k": pa.array([3], pa.int32()),
+                             "v": pa.array(["c"]),
+                             "extra": pa.array([9], pa.int64())}),
+                   os.path.join(src2, "b.parquet"))
+    out2 = str(tmp_path / "driftout2")
+    res2 = zenc.encode_parquet(spark, src2, out2)
+    assert res2.total_rows == 3
+    # a missing required column is refused with the file named
+    src3 = str(tmp_path / "drift3")
+    os.makedirs(src3)
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "v": pa.array(["a"])}),
+                   os.path.join(src3, "a.parquet"))
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}),
+                   os.path.join(src3, "b.parquet"))
+    with pytest.raises(ValueError, match="b.parquet"):
+        zenc.encode_parquet(spark, src3, str(tmp_path / "driftout3"))
 
 
 def test_nested_map_parquet_roundtrip(spark, tmp_path):

@@ -103,14 +103,7 @@ def cmd_verify(args) -> int:
     src = spark.read.parquet(args.input)
     dec = zdec.decode(spark, args.enc).select(src.columns)
 
-    def has_map(dt) -> bool:
-        if isinstance(dt, T.MapType):
-            return True
-        if isinstance(dt, T.ArrayType):
-            return has_map(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return any(has_map(f.dataType) for f in dt.fields)
-        return False
+    from .encode import spark_type_has_map as has_map
 
     def norm(col, dt):
         # Spark refuses set operations on map columns; a map compares as

@@ -233,7 +233,7 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         lengths = np.diff(offs)
         seg = BC.encode_binary(lengths, data)
         note(seg[0], BC.BIN_CODEC_NAMES)
-        zseg = _bin_bounds(a) if (zone and n) else b""
+        zseg = _bin_bounds(arr) if (zone and n) else b""
         flags = (1 if valid is not None else 0) | (2 if zseg else 0)
         return (_HEAD.pack(K_BINARY, flags) + vseg + zseg
                 + struct.pack("<B", utf8) + seg)
@@ -353,30 +353,42 @@ def encode_column_reversed(arr: pa.Array, stats: dict | None = None,
 ZONE_PREFIX = 16
 
 
+def prefix_upper(p: bytes) -> bytes | None:
+    """Smallest byte string strictly above every string with prefix ``p``
+    (last non-0xFF byte incremented — the parquet truncated-statistics
+    trick), or None when no finite bound exists (all-0xFF prefix). Shared
+    by the zone-map writer below and the DataSource's StartsWith range
+    pushdown."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            b[i] += 1
+            return bytes(b[: i + 1])
+    return None
+
+
 def _bin_bounds(a: pa.Array) -> bytes:
     """Byte-bounds zone section for a binary/string array (see module
     docstring): u8 lo_len + lo + u8 hi_len + hi, an inclusive [lo, hi]
-    envelope of every value's bytes, or b"" when no finite bound exists."""
+    envelope of every NON-NULL value's bytes, or b"" when no finite bound
+    exists. Callers pass the PRE-fill array: pc.min_max skips nulls, and
+    null rows can never satisfy a pushed comparison, so excluding them is
+    safe and strictly tighter than bounding the ""-filled values."""
     try:
         mm = pc.min_max(a)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
     except pa.lib.ArrowNotImplementedError:
         return b""
     if lo is None or hi is None:
-        return b""
+        return b""  # all-null chunk: nothing a comparison could match
     if isinstance(lo, str):
         lo, hi = lo.encode(), hi.encode()
     lo_b = lo[:ZONE_PREFIX]
     if len(hi) <= ZONE_PREFIX:
         hi_b = hi
     else:
-        p = bytearray(hi[:ZONE_PREFIX])
-        for i in range(len(p) - 1, -1, -1):
-            if p[i] != 0xFF:
-                p[i] += 1
-                hi_b = bytes(p[: i + 1])
-                break
-        else:
+        hi_b = prefix_upper(hi[:ZONE_PREFIX])
+        if hi_b is None:
             return b""  # all-0xFF prefix: no finite upper bound
     return bytes([len(lo_b)]) + lo_b + bytes([len(hi_b)]) + hi_b
 

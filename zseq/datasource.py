@@ -166,17 +166,6 @@ class ZseqDataSource(DataSource):
         return ZseqStreamReader(dict(self.options))
 
 
-def _prefix_upper(p: bytes) -> bytes | None:
-    """Smallest byte string strictly above every string with prefix ``p``
-    (last non-0xFF byte incremented), or None when no finite bound."""
-    b = bytearray(p)
-    for i in range(len(b) - 1, -1, -1):
-        if b[i] != 0xFF:
-            b[i] += 1
-            return bytes(b[: i + 1])
-    return None
-
-
 def pa_select(schema, keep: list[str]):
     """Project an Arrow schema to ``keep`` in file order."""
     import pyarrow as pa
@@ -309,10 +298,12 @@ class ZseqSourceReader(DataSourceReader):
                 # with prefix p sorts inside it (bytewise == UTF-8
                 # codepoint order), so two range conjuncts prune exactly
                 # like parquet does for startswith.
+                from .column import prefix_upper
+
                 p = self._storage_value(col, f.value)
                 if isinstance(p, str) and p:
                     self._predicate.append((col, ">=", p))
-                    up = _prefix_upper(p.encode())
+                    up = prefix_upper(p.encode())
                     if up is not None:
                         self._predicate.append((col, "<", up))
                 continue

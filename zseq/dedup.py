@@ -279,7 +279,7 @@ def _block_bounds(n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 7,
                        blocks: int | None = None,
                        allow_wide_buckets: bool = False) -> DataFrame:
     """Candidate generation by block buckets over the 64-bit signature,
@@ -300,7 +300,9 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 8,
     buckets per block — at large corpus sizes the banded self-join
     degenerates toward all-pairs (a candidate explosion, not a slow
     path). Such configs are REFUSED unless ``allow_wide_buckets=True``
-    (legitimate on small corpora, e.g. a few thousand docs)."""
+    (legitimate on small corpora, e.g. a few thousand docs). The default
+    radius is therefore 7 (8 blocks x 8-bit buckets — the widest radius
+    whose exact-recall banding still clears the guard)."""
     n_blocks = (max_hamming + 1) if blocks is None else blocks
     if not 1 <= n_blocks <= 64:
         raise ValueError(f"simhash blocks must be in [1, 64]: {n_blocks}")

@@ -156,6 +156,21 @@ def _type_has_map(t: pa.DataType) -> bool:
     return False
 
 
+def spark_type_has_map(dt) -> bool:
+    """True when a Spark DataType contains a MapType at any nesting depth
+    (shared by the encode-side map stripping and the CLI verify's map
+    normalization — one recursion, not two drifting copies)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return spark_type_has_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(spark_type_has_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def strip_maps_df(df: DataFrame) -> tuple[DataFrame, bool]:
     """Replace every map-bearing column with its map-free equivalent
     (map -> array<struct<key,value>> via map_entries, recursively through
@@ -172,14 +187,7 @@ def strip_maps_df(df: DataFrame) -> tuple[DataFrame, bool]:
     and the decode path are completely unchanged."""
     from pyspark.sql import types as T
 
-    def has_map(dt) -> bool:
-        if isinstance(dt, T.MapType):
-            return True
-        if isinstance(dt, T.ArrayType):
-            return has_map(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return any(has_map(f.dataType) for f in dt.fields)
-        return False
+    has_map = spark_type_has_map
 
     def strip(col, dt):
         if isinstance(dt, T.MapType):
@@ -741,33 +749,39 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
     validate_zstd_level(zstd_level)
     arrow_schema = pq.read_schema(files[0])
-    # Schema-drift check UP FRONT (cheap footer reads, driver-side):
-    # a mismatching file otherwise surfaces as a cast failure inside some
-    # task minutes into the job, without naming the culprit. Field order
-    # may differ (tasks .select() into schema order); names + per-name
-    # types may not.
+    # Schema-drift check UP FRONT (footer reads, parallelized): a
+    # mismatching file otherwise surfaces as a cast failure inside some
+    # task minutes into the job, without naming the culprit. The check
+    # mirrors exactly what the task path tolerates — extra columns are
+    # dropped by select(), field order may differ, and losslessly-
+    # castable type drift rides tbl.cast(); only a MISSING required
+    # column or a cast-incompatible type is refused. Files already
+    # committed by a resume manifest were validated when first encoded
+    # (input_files is pinned) and are skipped.
     want = {f.name: f.type for f in arrow_schema}
-    for f in files[1:]:
-        got_schema = pq.read_schema(f)
-        got = {g.name: g.type for g in got_schema}
-        check = (set(columns) if columns else set(want))
-        if columns:
-            missing = check - set(got)
+    required = set(columns) if columns else set(want)
+    to_check = [f for i, f in enumerate(files)
+                if i not in done_parts and f != files[0]]
+    if to_check:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(to_check))) as pool:
+            footers = list(pool.map(pq.read_schema, to_check))
+        for f, got_schema in zip(to_check, footers):
+            got = {g.name: g.type for g in got_schema}
+            missing = required - set(got)
             if missing:
                 raise ValueError(
                     f"encode_parquet: {f} is missing column(s) "
                     f"{sorted(missing)} present in {files[0]}")
-        elif set(got) != set(want):
-            raise ValueError(
-                f"encode_parquet: {f} schema fields {sorted(got)} != "
-                f"{sorted(want)} of {files[0]}")
-        drift = {c for c in check if c in got and got[c] != want[c]}
-        if drift:
-            raise ValueError(
-                f"encode_parquet: {f} column type(s) differ from "
-                f"{files[0]}: "
-                + ", ".join(f"{c}: {got[c]} != {want[c]}"
-                            for c in sorted(drift)))
+            drift = {c for c in required
+                     if not _types_castable(got[c], want[c])}
+            if drift:
+                raise ValueError(
+                    f"encode_parquet: {f} column type(s) are not "
+                    f"castable to {files[0]}'s: "
+                    + ", ".join(f"{c}: {got[c]} -> {want[c]}"
+                                for c in sorted(drift)))
     if columns:
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     if reversed_cols:
@@ -869,6 +883,48 @@ def vacuum(out_dir: str, min_age_sec: float = 86400.0,
             "vacuum (a crashed encode's parts may still be salvageable "
             "via decode(allow_partial=True))")
     return removed
+
+
+def _types_castable(got: pa.DataType, want: pa.DataType) -> bool:
+    """Conservative static mirror of what the task path's ``tbl.cast``
+    accepts: equal types, any-numeric -> any-numeric, temporal ->
+    temporal, string-kind -> string-kind, binary-kind -> binary-kind,
+    and the same recursively through lists/structs/maps. (Runtime cast
+    can still fail on overflow — this check exists to NAME clear drift
+    up front, not to certify every value.)"""
+    if got.equals(want):
+        return True
+
+    def num(t):
+        return (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_decimal(t) or pa.types.is_boolean(t))
+
+    def strlike(t):
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+    def binlike(t):
+        return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+
+    if num(got) and num(want):
+        return True
+    if pa.types.is_temporal(got) and pa.types.is_temporal(want):
+        return True
+    if (strlike(got) and strlike(want)) or (binlike(got) and binlike(want)):
+        return True
+    if (pa.types.is_list(got) or pa.types.is_large_list(got)) and \
+            (pa.types.is_list(want) or pa.types.is_large_list(want)):
+        return _types_castable(got.value_type, want.value_type)
+    if pa.types.is_struct(got) and pa.types.is_struct(want):
+        if got.num_fields != want.num_fields:
+            return False
+        return all(
+            got.field(i).name == want.field(i).name
+            and _types_castable(got.field(i).type, want.field(i).type)
+            for i in range(want.num_fields))
+    if pa.types.is_map(got) and pa.types.is_map(want):
+        return (_types_castable(got.key_type, want.key_type)
+                and _types_castable(got.item_type, want.item_type))
+    return False
 
 
 def to_arrow_schema(df: DataFrame) -> pa.Schema:
