@@ -181,3 +181,68 @@ def test_decode_stream_crc_enforced_per_epoch(spark, tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(Exception, match="crc32"):
         streaming.decode_stream(spark, out).count()
+
+
+def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark: on-time rows aggregate into their
+    window; a row arriving after the watermark passed its window is
+    DROPPED (the late-data contract that bounds state)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    os.makedirs(src)
+
+    def ts(minute, second=0):
+        return dt.datetime(2026, 1, 1, 10, minute, second)
+
+    def wave(name, rows):
+        tbl = pa.table({
+            "ts": pa.array([r[0] for r in rows],
+                           pa.timestamp("us")),
+            "source": pa.array([r[1] for r in rows]),
+            "n_tok": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(src, name))
+
+    sink = str(tmp_path / "wsink")
+
+    def drain():
+        stream = (
+            spark.readStream
+            .schema("ts timestamp, source string, n_tok long")
+            .parquet(src)
+        )
+        out = streaming.windowed_stats(stream, window="1 minute",
+                                       watermark="2 minutes")
+
+        def write(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (out.writeStream.outputMode("update").foreachBatch(write)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # drain 1: watermark advances to 10:05 - 2min = 10:03
+    wave("w0.parquet", [(ts(0, 0), "a", 10), (ts(0, 30), "a", 5),
+                        (ts(5, 0), "b", 7)])
+    drain()
+    # drain 2 (checkpointed watermark carried over): one LATE row inside
+    # the closed 10:00 window (dropped), one on-time row
+    wave("w1.parquet", [(ts(0, 10), "a", 100), (ts(6, 0), "b", 3)])
+    drain()
+    spark.read.parquet(sink).createOrReplaceTempView("wstats")
+    rows = spark.sql(
+        "SELECT win_start, source, max(docs) as docs, "
+        "max(tokens) as tokens FROM wstats "
+        "GROUP BY win_start, source").collect()
+    got = {(r["win_start"].minute, r["source"]): (r["docs"], r["tokens"])
+           for r in rows}
+    # late (ts 10:00:10, 100 tokens) must NOT be in the 10:00 window
+    assert got[(0, "a")] == (2, 15)
+    assert got[(5, "b")] == (1, 7)
+    assert got[(6, "b")] == (1, 3)

@@ -371,6 +371,76 @@ FROM events
 """
 
 
+def q_codec_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K_BOOL: boolean column (0/1 through the int segment) with a
+    validity bitmap (event_id % 11 == 0 slots are null), encoded and
+    decoded through the real chunk machinery; output values AND nulls
+    come from the decoded array."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id as bigint) as event_id",
+        "case when event_id % 11 = 0 then cast(null as boolean) "
+        "else user_id % 2 = 0 end as flag")
+
+    def fn(batches):
+        from zseq import column as C
+
+        for b in batches:
+            arr = b.column(1)
+            blob = C.encode_column(arr, {}, "b")
+            dec, _ = C.decode_column(memoryview(blob), 0, pa.bool_(),
+                                     len(arr))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), dec], names=["event_id", "flag_rt"])
+
+    return df.mapInArrow(fn, "event_id long, flag_rt boolean")
+
+
+_Q_BOOL_ORACLE = """
+SELECT cast(event_id as bigint) as event_id,
+       case when event_id % 11 <> 0 then user_id % 2 = 0 end as flag_rt
+FROM events
+"""
+
+
+def q_codec_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K_FLOAT: float32 rides the int pipeline as bit patterns; the
+    decoded floats are widened back to double for the SQL comparison
+    (f32 -> f64 is exact)."""
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as bigint) as l_orderkey",
+        "cast(l_linenumber as bigint) as l_linenumber",
+        "cast(l_discount as float) as disc_f")
+
+    def fn(batches):
+        from zseq import column as C
+
+        for b in batches:
+            arr = b.column(2)
+            blob = C.encode_column(arr, {}, "f")
+            dec, _ = C.decode_column(memoryview(blob), 0, pa.float32(),
+                                     len(arr))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), dec.cast(pa.float64())],
+                names=["l_orderkey", "l_linenumber", "disc_rt"])
+
+    return df.mapInArrow(
+        fn, "l_orderkey long, l_linenumber long, disc_rt double")
+
+
+_Q_FLOAT32_ORACLE = """
+SELECT cast(l_orderkey as bigint) as l_orderkey,
+       cast(l_linenumber as bigint) as l_linenumber,
+       cast(cast(l_discount as real) as double) as disc_rt
+FROM lineitem
+"""
+
+
 def q_codec_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K_DECIMAL: decimal128(precision <= 18) rides the int64 pipeline as
     its unscaled value (the reference's data model is i64/f64 only —
@@ -788,6 +858,8 @@ def queries() -> dict:
         "codec_struct": q_codec_struct,
         "codec_map": q_codec_map,
         "codec_decimal": q_codec_decimal,
+        "codec_bool": q_codec_bool,
+        "codec_float32": q_codec_float32,
         "validate_date_range": q_validate_date_range,
         "merge_tables": q_merge_tables,
         "defaults_fill": q_defaults_fill,
@@ -849,6 +921,8 @@ def oracle_sql() -> dict:
         "codec_struct": _Q_STRUCT_ORACLE,
         "codec_map": _Q_MAP_ORACLE,
         "codec_decimal": _Q_DECIMAL_ORACLE,
+        "codec_bool": _Q_BOOL_ORACLE,
+        "codec_float32": _Q_FLOAT32_ORACLE,
         "validate_date_range": _Q_VALIDATE_ORACLE,
         "merge_tables": _Q_MERGE_ORACLE,
         "defaults_fill": _Q_DEFAULTS_ORACLE,

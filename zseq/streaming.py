@@ -109,6 +109,37 @@ def stream_dedup(stream_df: DataFrame, col: str = "text",
     )
 
 
+def windowed_stats(stream_df: DataFrame, time_col: str = "ts",
+                   window: str = "1 minute", slide: str | None = None,
+                   watermark: str = "2 minutes",
+                   keys: tuple = ("source",),
+                   value_col: str = "n_tok") -> DataFrame:
+    """Event-time windowed ingest stats with a watermark — docs and
+    token mass per (window, keys) over a stream.
+
+    The watermark IS the state bound: windows older than
+    max(event_time) - watermark are finalized and evicted, and rows
+    arriving later than that are dropped (the late-data contract), so
+    state size is O(active windows x key cardinality) regardless of how
+    long the stream runs. The aggregation is algebraic (count/sum), so
+    Spark applies map-side partial aggregation before the one shuffle
+    on (window, keys)."""
+    from pyspark.sql import functions as F
+
+    w = F.window(F.col(time_col), window, slide or window)
+    agg = (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(w.alias("win"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(value_col).alias("tokens"))
+    )
+    return agg.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *[F.col(k) for k in keys],
+        F.col("docs"), F.col("tokens"))
+
+
 def decode_stream(spark: SparkSession, out_dir: str,
                   columns: list[str] | None = None,
                   predicate: list[tuple] | None = None) -> DataFrame:
