@@ -268,3 +268,38 @@ def test_simhash_wide_bucket_guard(spark):
                              allow_wide_buckets=True).count()
     dedup.simhash_near_pairs(sh, max_hamming=7).count()
     dedup.simhash_near_pairs(sh).count()
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vecs):
+    """Probing every cell makes IVF exhaustive: identical rows to the
+    exact brute-force baseline (assignment partitions the corpus, so
+    probing all cells covers it completely)."""
+    n_cells = vecs.filter("vec_id % 10 = 0").count()
+    ivf = sim.ivf_topk(vecs, 16, n_queries=3, topk=5, c_mod=10,
+                       nprobe=n_cells)
+    bf = sim.brute_force_topk(vecs, n_queries=3, topk=5)
+    assert sorted(map(tuple, ivf.collect())) == \
+        sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_recall_at_nprobe(spark, vecs):
+    """nprobe=3 of 9 cells must still find most true neighbors, and the
+    planted near-duplicate (500 ~ 0) must be found at rank 1 (its cell
+    assignment matches the query's best cell by construction of the
+    perturbation)."""
+    ivf = sim.ivf_topk(vecs, 16, n_queries=3, topk=5, c_mod=10, nprobe=3)
+    bf = sim.brute_force_topk(vecs, n_queries=3, topk=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+    top0 = [r.neighbor_id for r in ivf.collect()
+            if r.query_id == 0 and r.rank == 1]
+    assert top0 == [500]
+
+
+def test_ivf_no_centroids_raises(spark, vecs):
+    # id 0 always satisfies id % c_mod == 0, so drop it to hit the guard
+    no_zero = vecs.filter("vec_id > 0 AND vec_id < 50")
+    with pytest.raises(ValueError, match="centroid"):
+        sim.ivf_topk(no_zero, 16, c_mod=10_000)

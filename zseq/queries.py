@@ -805,6 +805,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, _EMB_DIM, bits=sim.bits_for(_EMB_ROWS), probes=1)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (vec_id % 50 centroids),
+    cell assignment as a pure projection (no shuffle), nprobe=2 probing,
+    exact quantized rerank. Constants PINNED so the static oracle SQL
+    matches at every sf; the probe-all == brute-force identity and
+    recall floors are gated by pytest."""
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(df, _EMB_DIM, c_mod=50, nprobe=2)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN with Hamming-2 multi-probe. bits is PINNED (not auto-sized)
     so the static oracle SQL matches at every sf; bits=None auto-sizing
@@ -879,6 +891,7 @@ def queries() -> dict:
         "sim_topk_bruteforce": q_sim_bruteforce,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
     }
 
 
@@ -949,6 +962,7 @@ def oracle_sql() -> dict:
         "sim_topk_bruteforce": _sim_bf_oracle(),
         "sim_lsh_buckets": _sim_buckets_oracle(),
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
+        "sim_ivf_topk": _sim_ivf_oracle(),
     }
 
 
@@ -1010,3 +1024,9 @@ def _sim_lsh_topk_oracle() -> str:
 
     return sim.lsh_topk_oracle_sql(
         _EMB_DIM, bits=sim.bits_for(_EMB_ROWS), probes=2)
+
+
+def _sim_ivf_oracle() -> str:
+    from . import sim
+
+    return sim.ivf_topk_oracle_sql(_EMB_DIM, c_mod=50, nprobe=2)

@@ -228,6 +228,141 @@ def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> probe
+# ---------------------------------------------------------------------------
+
+def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
+                   vec_col: str) -> list[tuple[int, list[int]]]:
+    """Deterministic coarse quantizer: the rows with id % c_mod == 0 are
+    the centroids (k-means would need an RNG + iterations; a
+    deterministic arithmetic pick keeps Spark == DuckDB == rerun exact,
+    and on L2-normalized corpora random-ish picks are the standard
+    kmeans init anyway). Returns [(cid, quantized ints)] sorted by cid —
+    a DRIVER collect of K rows, which is the point: the coarse quantizer
+    IS broadcast state in any IVF system (K ~ sqrt(N), a few thousand
+    rows at 10^12 scale)."""
+    import math
+
+    rows = (
+        df.filter(f"{id_col} % {c_mod} = 0")
+        .selectExpr(f"cast({id_col} as bigint) as cid", vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"ivf: no centroids (no {id_col} % {c_mod} == 0 rows) — "
+            "lower c_mod")
+    out = []
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        q = [int(math.floor(float(x) * QUANT)) for x in r[vec_col]]
+        out.append((int(r["cid"]), q))
+    return out
+
+
+def _ivf_sorted_cells(vec_col: str,
+                      cents: list[tuple[int, list[int]]]) -> str:
+    """Spark SQL: array of (score, -cid) structs against every centroid,
+    sorted best-first (score DESC, cid ASC) — the per-row coarse
+    scoring, fully inside whole-stage codegen, zero joins/shuffles."""
+    structs = ", ".join(
+        "struct(("
+        f"aggregate(zip_with({vec_col}, "
+        f"array({', '.join(f'{c}L' for c in q)}), "
+        f"(x, c) -> cast(floor(cast(x as double) * {QUANT}) as bigint)"
+        " * c), 0L, (acc, v) -> acc + v)"
+        f") as s, {-cid}L as negc)"
+        for cid, q in cents)
+    return f"reverse(array_sort(array({structs})))"
+
+
+def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
+             c_mod: int = 50, nprobe: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: every corpus row is assigned to its nearest centroid's
+    cell (argmax quantized dot, ties to the smaller cid); a query probes
+    its ``nprobe`` best cells and is reranked exactly against only those
+    cells' rows.
+
+    Plan shape (the IVF scale story): cell assignment is a single
+    PROJECTION — the centroid matrix is inlined into the expression
+    (broadcast state), so the corpus is touched once with no join and no
+    shuffle; the probe join broadcasts (n_queries x nprobe) rows; one
+    shuffle for the per-query rank window. Probing all cells
+    (nprobe >= centroid count) degenerates to exact brute force — the
+    recall knob is explicit."""
+    from pyspark.sql import Window
+
+    cents = _ivf_centroids(df, c_mod, id_col, vec_col)
+    cells = _ivf_sorted_cells(vec_col, cents)
+    base = df.selectExpr(f"cast({id_col} as bigint) as {id_col}", vec_col)
+    assigned = base.selectExpr(
+        id_col, vec_col,
+        f"-element_at({cells}, 1).negc as cid")
+    q = (
+        base.filter(f"{id_col} < {n_queries}")
+        .selectExpr(
+            f"{id_col} as query_id", f"{vec_col} as qv",
+            f"explode(transform(slice({cells}, 1, {nprobe}), "
+            "p -> -p.negc)) as cid")
+    )
+    joined = assigned.selectExpr(
+        f"{id_col} as neighbor_id", f"{vec_col} as nv", "cid"
+    ).join(F.broadcast(q), on="cid").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.selectExpr(
+        "query_id", "neighbor_id", _qdot("qv", "nv") + " as score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .selectExpr("cast(query_id as bigint) as query_id",
+                    "cast(neighbor_id as bigint) as neighbor_id",
+                    "cast(score as bigint) as score",
+                    "cast(rank as bigint) as rank")
+    )
+
+
+def ivf_topk_oracle_sql(dim: int, n_queries: int = 10, topk: int = 5,
+                        c_mod: int = 50, nprobe: int = 2,
+                        table: str = "embeddings",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """Static SQL mirror: centroids re-derived from the same arithmetic
+    rule, assignment/probing via window-rank argmax (same score-DESC,
+    cid-ASC tiebreak), exact quantized rerank."""
+    adot = _qdot_duck("b.v", "c.cv")
+    sdot = _qdot_duck("qb.v", "nb.v")
+    return f"""
+WITH base AS (SELECT cast({id_col} as bigint) as id, {vec_col} as v
+              FROM {table}),
+     cents AS (SELECT id as cid, v as cv FROM base WHERE id % {c_mod} = 0),
+     adots AS (SELECT b.id, c.cid, {adot} as s FROM base b, cents c),
+     ranked_cells AS (
+       SELECT id, cid, row_number() OVER (PARTITION BY id
+              ORDER BY s DESC, cid ASC) as rn FROM adots),
+     assign AS (SELECT id, cid FROM ranked_cells WHERE rn = 1),
+     qprob AS (SELECT id as query_id, cid FROM ranked_cells
+               WHERE id < {n_queries} AND rn <= {nprobe}),
+     scored AS (
+       SELECT q.query_id, a.id as neighbor_id, {sdot} as score
+       FROM qprob q JOIN assign a USING (cid)
+            JOIN base qb ON qb.id = q.query_id
+            JOIN base nb ON nb.id = a.id
+       WHERE a.id != q.query_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) as rank
+       FROM scored)
+SELECT cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       cast(score as bigint) as score, cast(rank as bigint) as rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
 def embedding_near_dups(df: DataFrame, dim: int, min_dot_q: int = 400_000,
                         bits: int | None = None, probes: int = 1,
                         id_col: str = "vec_id",
