@@ -303,3 +303,37 @@ def test_ivf_no_centroids_raises(spark, vecs):
     no_zero = vecs.filter("vec_id > 0 AND vec_id < 50")
     with pytest.raises(ValueError, match="centroid"):
         sim.ivf_topk(no_zero, 16, c_mod=10_000)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Label propagation handles a 4-node CHAIN (needs >1 round: min
+    label must travel the diameter) and keeps disjoint components
+    separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: all -> 1
+         (10, 11), (10, 12), (11, 12)],  # clique: all -> 10
+        "doc_a long, doc_b long")
+    cc = {r["doc_id"]: r["component"]
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_corpus_drops_non_keepers(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),   # identical to 1
+         (3, "totally different words here now"),  # untouched
+         (5, "alpha beta gamma delta zeta")],      # J(1,5) = 0.5
+        "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(corpus, min_num=1, min_den=2)
+    kept = dedup.dedup_corpus(corpus, pairs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3}  # cluster {1,2,5} keeps 1; 3 passes through
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 5-chain with max_iter=1 cannot reach fixpoint -> loud error
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components(pairs, max_iter=1)

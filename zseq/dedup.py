@@ -401,3 +401,64 @@ def simhash_planted_oracle_sql(table: str = "documents") -> str:
         f"cast(0 as bigint) as hamming "
         f"FROM {table} WHERE doc_id % {PLANT_MOD} = 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# From pairs to a deduplicated corpus: connected components + keeper
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate pairs -> (doc_id, component), where
+    component is the SMALLEST doc id reachable through the pair graph —
+    the canonical keeper of each duplicate cluster.
+
+    Algorithm: smallest-label propagation. Each round every node takes
+    min(own label, neighbors' labels) — one join + one aggregation per
+    round, converging in O(component diameter) rounds. Duplicate
+    clusters are near-cliques by construction (members share the keeper
+    as a pair partner), so real corpora converge in 2-3 rounds; max_iter
+    is a guard against pathological chains, and non-convergence RAISES
+    rather than silently returning split components. Each round is
+    localCheckpoint'd: the plan stays O(1) deep instead of doubling per
+    iteration (lineage blowup is the classic iterative-Spark trap), and
+    the monotone sum(label) doubles as the exact convergence test
+    (labels only ever decrease, so an unchanged sum == a fixpoint)."""
+    edges = pairs.selectExpr("doc_a as a", "doc_b as b")
+    und = edges.union(edges.selectExpr("b as a", "a as b")) \
+        .distinct().localCheckpoint(eager=True)
+    labels = und.selectExpr("a as doc_id").distinct() \
+        .withColumn("component", F.col("doc_id")) \
+        .localCheckpoint(eager=True)
+    prev_sum = labels.selectExpr(
+        "sum(component) as s").collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["doc_id"])
+            .groupBy("b").agg(F.min("component").alias("nc"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["b"], "left")
+            .selectExpr(
+                "doc_id",
+                "least(component, coalesce(nc, component)) as component")
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.selectExpr("sum(component) as s").collect()[0]["s"]
+        if cur == prev_sum:
+            return labels
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise it")
+
+
+def dedup_corpus(df: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: every pair-graph component keeps only its
+    smallest id; rows in no pair pass through untouched. One anti-join
+    against the (tiny relative to the corpus) drop-set — the corpus
+    itself is never shuffled."""
+    cc = connected_components(pairs)
+    drop = cc.filter("doc_id != component") \
+        .selectExpr(f"doc_id as {id_col}")
+    return df.join(drop, on=id_col, how="left_anti")

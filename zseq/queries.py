@@ -778,6 +778,26 @@ def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(dedup.simhash(corpus), max_hamming=3)
 
 
+def q_dedup_drop_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full drop-duplicates pipeline, value-checked end to end:
+    planted corpus -> MinHash-LSH pairs -> connected components ->
+    anti-join keeps each cluster's smallest id. On the planted corpus the
+    expected survivor set is exactly the base ids (every planted dup at
+    id + PLANT_OFFSET is dropped; its base keeper survives)."""
+    from . import dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = dedup.planted_corpus(df)
+    pairs = dedup.minhash_dedup(corpus, min_num=1, min_den=2)
+    kept = dedup.dedup_corpus(corpus, pairs)
+    return kept.selectExpr("cast(doc_id as bigint) as doc_id")
+
+
+_Q_DROP_NEAR_ORACLE = """
+SELECT cast(doc_id as bigint) as doc_id FROM documents
+"""
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sim
 
@@ -888,6 +908,7 @@ def queries() -> dict:
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_planted": q_dedup_simhash_planted,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_drop_near": q_dedup_drop_near,
         "sim_topk_bruteforce": q_sim_bruteforce,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -959,6 +980,7 @@ def oracle_sql() -> dict:
         "dedup_minhash_planted": _dedup_minhash_planted_oracle(),
         "dedup_simhash_planted": _dedup_simhash_planted_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
+        "dedup_drop_near": _Q_DROP_NEAR_ORACLE,
         "sim_topk_bruteforce": _sim_bf_oracle(),
         "sim_lsh_buckets": _sim_buckets_oracle(),
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
