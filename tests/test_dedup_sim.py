@@ -337,3 +337,40 @@ def test_connected_components_nonconvergence_raises(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="fixpoint"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_gopher_rules_each_direction(spark, tmp_path):
+    """Each Gopher rule fires on a crafted violator and passes on a
+    clean doc; gopher_filter keeps exactly the clean ones."""
+    import os
+
+    from zseq import textops
+
+    good = ("the cat and the dog have come to the house of friends "
+            "with many fine words that tell a long story here")
+    docs = [
+        (0, good),
+        (1, "tiny doc"),                                  # word count
+        (2, "a a a a a a a a a a a a a a a a a a a a"),   # mean word len <3
+        (3, "# # # # " + good),                           # symbol ratio
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 "
+            "18 19 20"),                                  # alpha + stopwords
+        (5, good.replace(" ", "\n- ")),                   # bullet lines
+    ]
+    sf = str(tmp_path / "gsf")
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+    q = textops.gopher_quality(spark, sf, min_words=5)
+    rows = {r["doc_id"]: r.asDict() for r in q.collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["ok_word_count"] is False
+    assert rows[2]["ok_mean_word_len"] is False
+    assert rows[3]["ok_symbol_ratio"] is False
+    assert rows[4]["ok_alpha_words"] is False
+    assert rows[4]["ok_stopwords"] is False
+    assert rows[5]["ok_bullet_lines"] is False
+    kept = textops.gopher_filter(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        min_words=5)
+    assert {r["doc_id"] for r in kept.collect()} == {0}

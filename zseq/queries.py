@@ -724,6 +724,24 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.analyze(spark, sf_dir)
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality audit (public Rae et al. 2021 heuristics):
+    per-rule boolean flags + keep verdict, integer-math thresholds so
+    Spark == DuckDB exactly. min_words=5 / min_stopwords=1 so the
+    synthetic word-salad docs exercise BOTH outcomes of the word-count
+    and stop-word rules (paper defaults 50 / 2 stay the API default)."""
+    from . import textops
+
+    return textops.gopher_quality(spark, sf_dir, min_words=5,
+                                  min_stopwords=1)
+
+
+def _quality_gopher_oracle() -> str:
+    from . import textops
+
+    return textops.gopher_oracle_sql(min_words=5, min_stopwords=1)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
@@ -901,6 +919,7 @@ def queries() -> dict:
         "pushdown_predicate": q_pushdown_predicate,
         "pushdown_predicate_str": q_pushdown_predicate_str,
         "text_analyze": q_text_analyze,
+        "quality_gopher": q_quality_gopher,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -971,6 +990,7 @@ def oracle_sql() -> dict:
         "pushdown_predicate_str": _Q_PRED_STR_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "text_analyze": _text_analyze_oracle(),
+        "quality_gopher": _quality_gopher_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         # dedup_minhash_lsh / dedup_simhash on the REAL documents table:

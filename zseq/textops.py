@@ -123,6 +123,133 @@ def shingle_exprs(col: str = "text", k: int = 3) -> tuple[str, str]:
     return spark, duck
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flag_exprs(col: str = "text",
+                      min_words: int = 50,
+                      max_words: int = 100_000,
+                      min_stopwords: int = 2) -> dict[str, tuple[str, str]]:
+    """Gopher-style document-quality rules (Rae et al. 2021, public) as
+    per-rule boolean (spark, duckdb) expression pairs. All comparisons
+    are integer cross-multiplications — no float ratios cross the
+    engine boundary, so the oracle match is exact:
+
+      ok_word_count     word count in [min_words, max_words]
+      ok_mean_word_len  mean word length in [3, 10] chars
+      ok_symbol_ratio   (# + '...') per word <= 0.1
+      ok_alpha_words    >= 80% of words contain a letter
+      ok_stopwords      contains >= min_stopwords distinct Gopher
+                        stop words (paper default 2)
+      ok_bullet_lines   <= 90% of lines start with a bullet
+      ok_ellipsis_lines <= 30% of lines end with '...'
+    """
+    w_s = _WORDS.format(col=col)
+    w_d = _WORDS_DUCK.format(col=col)
+    nw_s, nw_d = f"size({w_s})", f"len({w_d})"
+    ch_s = f"length(replace({col}, ' ', ''))"
+    ch_d = f"length(replace({col}, ' ', ''))"
+    sym_s = (f"(regexp_count({col}, '#') + "
+             f"regexp_count({col}, '\\\\.\\\\.\\\\.'))")
+    sym_d = (f"(len(regexp_extract_all({col}, '#')) + "
+             f"len(regexp_extract_all({col}, '\\.\\.\\.')))")
+    alpha_s = f"size(filter({w_s}, w -> w rlike '[A-Za-z]'))"
+    alpha_d = (f"len(list_filter({w_d}, "
+               f"w -> regexp_matches(w, '[A-Za-z]')))")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop_s = (f"size(array_intersect(transform({w_s}, w -> lower(w)), "
+              f"array({stops})))")
+    stop_d = (f"len(list_intersect(list_transform({w_d}, "
+              f"w -> lower(w)), [{stops}]))")
+    lines_s = f"split({col}, '\\n')"
+    lines_d = f"string_split({col}, chr(10))"
+    nl_s, nl_d = f"size({lines_s})", f"len({lines_d})"
+    bullet_s = (f"size(filter({lines_s}, "
+                f"l -> trim(l) rlike '^[-*]'))")
+    bullet_d = (f"len(list_filter({lines_d}, "
+                f"l -> regexp_matches(trim(l), '^[-*]')))")
+    ell_s = (f"size(filter({lines_s}, "
+             f"l -> l rlike '\\\\.\\\\.\\\\.$'))")
+    ell_d = (f"len(list_filter({lines_d}, "
+             f"l -> regexp_matches(l, '\\.\\.\\.$')))")
+    return {
+        "ok_word_count": (
+            f"{nw_s} between {min_words} and {max_words}",
+            f"{nw_d} between {min_words} and {max_words}",
+        ),
+        "ok_mean_word_len": (
+            f"3 * {nw_s} <= {ch_s} and {ch_s} <= 10 * {nw_s}",
+            f"3 * {nw_d} <= {ch_d} and {ch_d} <= 10 * {nw_d}",
+        ),
+        "ok_symbol_ratio": (
+            f"10 * {sym_s} <= {nw_s}",
+            f"10 * {sym_d} <= {nw_d}",
+        ),
+        "ok_alpha_words": (
+            f"10 * {alpha_s} >= 8 * {nw_s}",
+            f"10 * {alpha_d} >= 8 * {nw_d}",
+        ),
+        "ok_stopwords": (
+            f"{stop_s} >= {min_stopwords}",
+            f"{stop_d} >= {min_stopwords}",
+        ),
+        "ok_bullet_lines": (
+            f"10 * {bullet_s} <= 9 * {nl_s}",
+            f"10 * {bullet_d} <= 9 * {nl_d}",
+        ),
+        "ok_ellipsis_lines": (
+            f"10 * {ell_s} <= 3 * {nl_s}",
+            f"10 * {ell_d} <= 3 * {nl_d}",
+        ),
+    }
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str, col: str = "text",
+                   min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_stopwords: int = 2) -> DataFrame:
+    """Per-document Gopher-rule flags + the final keep/drop verdict —
+    one projection over the scan, zero shuffles, all JVM expressions."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", f"coalesce({col}, '') as {col}")
+    flags = gopher_flag_exprs(col, min_words, max_words, min_stopwords)
+    exprs = ["cast(doc_id as bigint) as doc_id"]
+    for name, (s, _) in flags.items():
+        exprs.append(f"cast({s} as boolean) as {name}")
+    exprs.append(
+        "cast(" + " and ".join(f"({s})" for s, _ in flags.values())
+        + " as boolean) as keep")
+    return df.selectExpr(*exprs)
+
+
+def gopher_filter(df: DataFrame, col: str = "text",
+                  min_words: int = 50,
+                  max_words: int = 100_000,
+                  min_stopwords: int = 2) -> DataFrame:
+    """Keep only documents passing every Gopher rule (the filtering
+    counterpart of gopher_quality's audit view)."""
+    flags = gopher_flag_exprs(col, min_words, max_words, min_stopwords)
+    cond = " and ".join(f"({s})" for s, _ in flags.values())
+    return df.filter(cond)
+
+
+def gopher_oracle_sql(col: str = "text", min_words: int = 50,
+                      max_words: int = 100_000,
+                      min_stopwords: int = 2) -> str:
+    flags = gopher_flag_exprs(col, min_words, max_words, min_stopwords)
+    parts = ["cast(doc_id as bigint) as doc_id"]
+    for name, (_, d) in flags.items():
+        parts.append(f"cast({d} as boolean) as {name}")
+    parts.append(
+        "cast(" + " and ".join(f"({d})" for _, d in flags.values())
+        + " as boolean) as keep")
+    return (
+        "SELECT " + ", ".join(parts)
+        + f" FROM (SELECT doc_id, coalesce({col}, '') as {col} "
+        "FROM documents)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level operators (Spark side)
 # ---------------------------------------------------------------------------
