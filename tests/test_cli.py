@@ -161,3 +161,16 @@ def test_vacuum_epoch_layout(spark, tmp_path, capsys):
     assert rep["removed"] == 2
     assert not os.path.exists(stale) and not os.path.exists(dead)
     assert streaming.decode_stream(spark, out).count() == 200
+
+
+def test_info_on_streaming_layout(spark, tmp_path, capsys):
+    from zseq import streaming
+
+    out = str(tmp_path / "sinfo")
+    df = synth.tokens_df_range(spark, 100, partitions=1)
+    zenc.encode(df, streaming.epoch_dir(out, 0), partitions=1)
+    zenc.encode(df, streaming.epoch_dir(out, 1), partitions=1)
+    assert main(["info", out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["mode"] == "stream"
+    assert rep["totals"]["rows"] == 200

@@ -68,8 +68,28 @@ def cmd_info(args) -> int:
 
     m = read_manifest(args.input)
     if m is None:
-        print(f"error: no manifest.json in {args.input}", file=sys.stderr)
-        return 1
+        # Streaming layout: aggregate every committed epoch's manifest
+        # into one dataset view (same shape as the batch report).
+        from .streaming import committed_epochs
+
+        eps = committed_epochs(args.input)
+        if not eps:
+            print(f"error: no manifest.json in {args.input}",
+                  file=sys.stderr)
+            return 1
+        manifests = [read_manifest(d) for d in eps]
+        manifests = [e for e in manifests if e is not None]
+        parts = [p for e in manifests for p in e.get("parts", [])]
+        m = manifests[0] | {
+            "mode": "stream",
+            "partitions": len(parts),
+            "parts": parts,
+            "totals": {
+                k: sum(e["totals"][k] for e in manifests)
+                for k in manifests[0]["totals"]
+            },
+            "epochs": len(manifests),
+        }
     col_bytes: dict[str, int] = {}
     for p in m.get("parts", []):
         for k, v in json.loads(p.get("col_bytes", "{}")).items():
