@@ -374,3 +374,24 @@ def test_gopher_rules_each_direction(spark, tmp_path):
         spark.createDataFrame(docs, "doc_id long, text string"),
         min_words=5)
     assert {r["doc_id"] for r in kept.collect()} == {0}
+
+
+def test_ivf_dim_validated_and_auto_cmod(spark, vecs):
+    with pytest.raises(ValueError, match="dim"):
+        sim.ivf_topk(vecs, 99, c_mod=10)
+    # c_mod=None auto-sizes K ~ sqrt(N) and still returns ranked rows
+    out = sim.ivf_topk(vecs, 16, n_queries=2, topk=3, c_mod=None,
+                       nprobe=3)
+    assert out.count() == 6
+
+
+def test_dedup_corpus_plan_broadcasts_drop_set(spark):
+    """The scale contract: the corpus side of the anti-join must NOT
+    shuffle — the tiny drop-set is broadcast."""
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = dedup.dedup_corpus(corpus, pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert out.count() == 49

@@ -79,6 +79,10 @@ def cmd_info(args) -> int:
             return 1
         manifests = [read_manifest(d) for d in eps]
         manifests = [e for e in manifests if e is not None]
+        if not manifests:  # epochs vanished under a concurrent cleanup
+            print(f"error: no manifest.json in {args.input}",
+                  file=sys.stderr)
+            return 1
         parts = [p for e in manifests for p in e.get("parts", [])]
         m = manifests[0] | {
             "mode": "stream",

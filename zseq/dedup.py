@@ -453,12 +453,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def dedup_corpus(df: DataFrame, pairs: DataFrame,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 max_iter: int = 25) -> DataFrame:
     """Drop near-duplicates: every pair-graph component keeps only its
-    smallest id; rows in no pair pass through untouched. One anti-join
-    against the (tiny relative to the corpus) drop-set — the corpus
-    itself is never shuffled."""
-    cc = connected_components(pairs)
+    smallest id; rows in no pair pass through untouched. The drop-set is
+    tiny relative to the corpus by the function's own contract (only
+    duplicate-cluster members), so it is BROADCAST into the anti-join —
+    the corpus itself is never shuffled (without the hint Spark
+    sort-merge-joins and shuffles the full corpus, because the
+    checkpointed drop-set has no size stats). ``max_iter`` passes
+    through to connected_components for deep transitive chains."""
+    cc = connected_components(pairs, max_iter=max_iter)
     drop = cc.filter("doc_id != component") \
         .selectExpr(f"doc_id as {id_col}")
-    return df.join(drop, on=id_col, how="left_anti")
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")

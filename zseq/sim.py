@@ -232,16 +232,20 @@ def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
 # IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> probe
 # ---------------------------------------------------------------------------
 
+IVF_MAX_CENTROIDS = 4096
+
+
 def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
-                   vec_col: str) -> list[tuple[int, list[int]]]:
+                   vec_col: str, dim: int) -> list[tuple[int, list[int]]]:
     """Deterministic coarse quantizer: the rows with id % c_mod == 0 are
     the centroids (k-means would need an RNG + iterations; a
     deterministic arithmetic pick keeps Spark == DuckDB == rerun exact,
     and on L2-normalized corpora random-ish picks are the standard
     kmeans init anyway). Returns [(cid, quantized ints)] sorted by cid —
     a DRIVER collect of K rows, which is the point: the coarse quantizer
-    IS broadcast state in any IVF system (K ~ sqrt(N), a few thousand
-    rows at 10^12 scale)."""
+    IS broadcast state in any IVF system. K is hard-capped at
+    IVF_MAX_CENTROIDS because the quantizer is inlined into a codegen'd
+    expression; beyond that raise c_mod (the error says so)."""
     import math
 
     rows = (
@@ -253,18 +257,28 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
         raise ValueError(
             f"ivf: no centroids (no {id_col} % {c_mod} == 0 rows) — "
             "lower c_mod")
+    if len(rows) > IVF_MAX_CENTROIDS:
+        raise ValueError(
+            f"ivf: {len(rows)} centroids exceed the inlined-expression "
+            f"cap {IVF_MAX_CENTROIDS} — raise c_mod (or pass c_mod=None "
+            "to auto-size K ~ sqrt(N))")
     out = []
     for r in sorted(rows, key=lambda r: r["cid"]):
+        if len(r[vec_col]) != dim:
+            raise ValueError(
+                f"ivf: centroid {r['cid']} has dim {len(r[vec_col])}, "
+                f"expected {dim}")
         q = [int(math.floor(float(x) * QUANT)) for x in r[vec_col]]
         out.append((int(r["cid"]), q))
     return out
 
 
-def _ivf_sorted_cells(vec_col: str,
+def _ivf_cell_structs(vec_col: str,
                       cents: list[tuple[int, list[int]]]) -> str:
-    """Spark SQL: array of (score, -cid) structs against every centroid,
-    sorted best-first (score DESC, cid ASC) — the per-row coarse
-    scoring, fully inside whole-stage codegen, zero joins/shuffles."""
+    """Spark SQL: array of (score, -cid) structs against every centroid —
+    the per-row coarse scoring, fully inside whole-stage codegen, zero
+    joins/shuffles. Struct comparison is lexicographic, so max == argmax
+    with ties to the smaller cid."""
     structs = ", ".join(
         "struct(("
         f"aggregate(zip_with({vec_col}, "
@@ -273,39 +287,49 @@ def _ivf_sorted_cells(vec_col: str,
         " * c), 0L, (acc, v) -> acc + v)"
         f") as s, {-cid}L as negc)"
         for cid, q in cents)
-    return f"reverse(array_sort(array({structs})))"
+    return f"array({structs})"
 
 
 def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
-             c_mod: int = 50, nprobe: int = 2,
+             c_mod: int | None = 50, nprobe: int = 2,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """IVF ANN: every corpus row is assigned to its nearest centroid's
     cell (argmax quantized dot, ties to the smaller cid); a query probes
     its ``nprobe`` best cells and is reranked exactly against only those
-    cells' rows.
+    cells' rows. ``c_mod=None`` auto-sizes the quantizer to K ~ sqrt(N)
+    (the textbook IVF cell count) from a corpus count; ``dim`` is
+    validated against the centroid vectors.
 
     Plan shape (the IVF scale story): cell assignment is a single
     PROJECTION — the centroid matrix is inlined into the expression
-    (broadcast state), so the corpus is touched once with no join and no
-    shuffle; the probe join broadcasts (n_queries x nprobe) rows; one
-    shuffle for the per-query rank window. Probing all cells
-    (nprobe >= centroid count) degenerates to exact brute force — the
-    recall knob is explicit."""
+    (broadcast state, capped at IVF_MAX_CENTROIDS) and assignment is an
+    O(K) array_max (argmax), so the corpus is touched once with no join,
+    no shuffle, and no per-row sort; only the n_queries QUERY rows pay
+    the O(K log K) sort for their top-nprobe cells. The probe join
+    broadcasts (n_queries x nprobe) rows; one shuffle for the per-query
+    rank window. Probing all cells (nprobe >= centroid count)
+    degenerates to exact brute force — the recall knob is explicit."""
+    import math
+
     from pyspark.sql import Window
 
-    cents = _ivf_centroids(df, c_mod, id_col, vec_col)
-    cells = _ivf_sorted_cells(vec_col, cents)
+    if c_mod is None:
+        n = df.count()
+        # K = N / c_mod ~ sqrt(N)  =>  c_mod ~ sqrt(N)
+        c_mod = max(1, int(math.sqrt(max(n, 1))))
+    cents = _ivf_centroids(df, c_mod, id_col, vec_col, dim)
+    cells = _ivf_cell_structs(vec_col, cents)
     base = df.selectExpr(f"cast({id_col} as bigint) as {id_col}", vec_col)
     assigned = base.selectExpr(
         id_col, vec_col,
-        f"-element_at({cells}, 1).negc as cid")
+        f"-array_max({cells}).negc as cid")
     q = (
         base.filter(f"{id_col} < {n_queries}")
         .selectExpr(
             f"{id_col} as query_id", f"{vec_col} as qv",
-            f"explode(transform(slice({cells}, 1, {nprobe}), "
-            "p -> -p.negc)) as cid")
+            f"explode(transform(slice(reverse(array_sort({cells})), "
+            f"1, {nprobe}), p -> -p.negc)) as cid")
     )
     joined = assigned.selectExpr(
         f"{id_col} as neighbor_id", f"{vec_col} as nv", "cid"

@@ -144,11 +144,16 @@ def gopher_flag_exprs(col: str = "text",
       ok_bullet_lines   <= 90% of lines start with a bullet
       ok_ellipsis_lines <= 30% of lines end with '...'
     """
-    w_s = _WORDS.format(col=col)
-    w_d = _WORDS_DUCK.format(col=col)
+    # Gopher rules split on ANY whitespace (not just spaces): a
+    # line-structured document must still word-count correctly, else the
+    # very docs the bullet/ellipsis rules exist for get mis-measured by
+    # the word rules. (text_analyze's space-only split is a separate,
+    # documented operator contract.)
+    w_s = f"split(trim({col}), '\\\\s+')"
+    w_d = f"string_split_regex(trim({col}), '\\s+')"
     nw_s, nw_d = f"size({w_s})", f"len({w_d})"
-    ch_s = f"length(replace({col}, ' ', ''))"
-    ch_d = f"length(replace({col}, ' ', ''))"
+    ch_s = f"length(regexp_replace({col}, '\\\\s+', ''))"
+    ch_d = f"length(regexp_replace({col}, '\\s+', '', 'g'))"
     sym_s = (f"(regexp_count({col}, '#') + "
              f"regexp_count({col}, '\\\\.\\\\.\\\\.'))")
     sym_d = (f"(len(regexp_extract_all({col}, '#')) + "
