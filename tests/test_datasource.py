@@ -334,3 +334,31 @@ def test_pushfilters_string_and_startswith(spark, tmp_path):
     got2 = (spark.read.format("zseq").load(out)
             .filter("doc_id like 'doc_0000099%'").count())
     assert got2 == 10
+
+
+def test_partition_packing_math(spark, tmp_path):
+    """Batch-read task packing: all part files covered exactly once; a
+    huge byte target still fans out to >= defaultParallelism groups; a
+    tiny target degenerates to one file per task."""
+    from zseq import encode as zenc
+    from zseq import synth
+    from zseq.datasource import ZseqSourceReader
+
+    out = str(tmp_path / "packing")
+    df = synth.tokens_df_range(spark, 2000, partitions=16)
+    zenc.encode(df, out, partitions=16, mode="hash")
+
+    r_big = ZseqSourceReader({"path": out,
+                              "target_partition_bytes": str(1 << 40)})
+    groups = r_big.partitions()
+    files = [f for g in groups for f, _ in g.files]
+    assert sorted(files) == sorted(p for p, _, _ in r_big._parts)
+    assert len(files) == len(set(files)) == 16
+    # parallelism floor: even with an unbounded byte target the corpus
+    # spreads over ~defaultParallelism tasks
+    floor = min(16, r_big._min_tasks)
+    assert len(groups) >= floor
+
+    r_tiny = ZseqSourceReader({"path": out,
+                               "target_partition_bytes": "1"})
+    assert len(r_tiny.partitions()) == 16  # one file per task
