@@ -23,9 +23,10 @@ File layout:
 
     The per-column length prefix is what makes the format *columnar on
     read*: projection pushdown (decode only requested columns, seek past
-    the rest) and predicate pushdown (zone-map min/max in int chunk
-    headers -> skip whole blocks without decoding) both cost zero
-    decompression work for skipped data.
+    the rest) and predicate pushdown (zone maps: int min/max derived
+    from codec headers, string/binary byte-bounds envelopes stored in
+    BINARY chunk headers -> skip whole blocks without decoding) both
+    cost zero decompression work for skipped data.
 
 One .zseq file is written per Spark partition from inside ``mapInArrow``;
 a block is one (possibly coalesced) Arrow RecordBatch — blocks map to the
