@@ -395,3 +395,28 @@ def test_dedup_corpus_plan_broadcasts_drop_set(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert out.count() == 49
+
+
+def test_winnow_guarantee_and_disjointness(spark):
+    """The winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 (= 8 at k=5, w=4) share at least one fingerprint;
+    documents over disjoint alphabets share none; short docs yield no
+    rows."""
+    from zseq import textops
+
+    shared = "the quick brown fox jumps"
+    docs = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"other start {shared} different end"),
+        (3, "zzz yyy xxx www vvv uuu qqq"),   # disjoint alphabet
+        (4, "hi"),                            # too short: no fingerprints
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = textops.winnow_fingerprints(df)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]           # shared passage detected
+    assert not (by_doc[1] & by_doc[3])     # unrelated: disjoint
+    assert 4 not in by_doc                 # short doc: no rows

@@ -742,6 +742,25 @@ def _quality_gopher_oracle() -> str:
     return textops.gopher_oracle_sql(min_words=5, min_stopwords=1)
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints — the brief's 'document
+    fingerprinting (rolling hash)' as Schleimer et al. 2003: char
+    5-grams hashed, window-of-4 minima kept, distinct per doc. md5 hex
+    strings compare identically in both engines, so the selected set is
+    value-exact."""
+    from . import textops
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "coalesce(text, '') as text")
+    return textops.winnow_fingerprints(df)
+
+
+def _fingerprint_winnow_oracle() -> str:
+    from . import textops
+
+    return textops.winnow_oracle_sql()
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
@@ -920,6 +939,7 @@ def queries() -> dict:
         "pushdown_predicate_str": q_pushdown_predicate_str,
         "text_analyze": q_text_analyze,
         "quality_gopher": q_quality_gopher,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -991,6 +1011,7 @@ def oracle_sql() -> dict:
             inner=synth.tokens_duckdb_sql("documents")),
         "text_analyze": _text_analyze_oracle(),
         "quality_gopher": _quality_gopher_oracle(),
+        "fingerprint_winnow": _fingerprint_winnow_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         # dedup_minhash_lsh / dedup_simhash on the REAL documents table:

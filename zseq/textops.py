@@ -123,6 +123,47 @@ def shingle_exprs(col: str = "text", k: int = 3) -> tuple[str, str]:
     return spark, duck
 
 
+def winnow_parts(col: str = "text", k: int = 5,
+                 w: int = 4) -> dict[str, tuple[str, str]]:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS rolling-
+    hash scheme, public) as STAGED (spark, duckdb) expression pairs:
+    'grams' hashes every char k-gram of the normalized text; 'select'
+    (over a MATERIALIZED grams column named __grams in Spark / g in the
+    oracle CTE) keeps each w-window's minimum and distincts the kept
+    set. Guarantee: two documents sharing any substring of length
+    >= w + k - 1 share at least one fingerprint.
+
+    Hashes are md5 hex STRINGS compared lexicographically — identical in
+    Spark and DuckDB, so the selected set is exact cross-engine. The
+    gram list MUST be materialized between the stages: inlining it into
+    the window lambda re-evaluates every md5 per window — O(len^2) per
+    document in BOTH engines (measured: minutes instead of seconds on
+    the 500-doc table)."""
+    norm_s = f"lower(regexp_replace(trim({col}), '\\\\s+', ' '))"
+    norm_d = f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+    # NB: Spark's sequence(1, 0) counts DOWN — guard short texts.
+    grams_s = (
+        f"case when length({norm_s}) >= {k} then "
+        f"transform(sequence(1, length({norm_s}) - {k} + 1), "
+        f"i -> md5(substring({norm_s}, i, {k}))) else array() end"
+    )
+    grams_d = (
+        f"list_transform(range(1, greatest(length({norm_d}) - {k} + 1, 0)"
+        f" + 1), i -> md5(substr({norm_d}, i, {k})))"
+    )
+    sel_s = (
+        f"case when size(__grams) >= {w} then array_distinct("
+        f"transform(sequence(1, size(__grams) - {w} + 1), "
+        f"j -> array_min(slice(__grams, j, {w})))) else array() end"
+    )
+    sel_d = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(g) - {w} + 1, 0) + 1), "
+        f"j -> list_min(g[j : j + {w} - 1])))"
+    )
+    return {"grams": (grams_s, grams_d), "select": (sel_s, sel_d)}
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -207,6 +248,38 @@ def gopher_flag_exprs(col: str = "text",
             f"10 * {ell_d} <= 3 * {nl_d}",
         ),
     }
+
+
+def winnow_fingerprints(df: DataFrame, col: str = "text", k: int = 5,
+                        w: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) rows of winnowing fingerprints — the overlap-detection
+    index: join two corpora on fp to find shared passages (any common
+    substring >= w + k - 1 chars guarantees a shared row). Documents
+    shorter than k + w - 1 chars produce no rows (nothing to guarantee).
+    Two projections + explode (grams materialized between them — see
+    winnow_parts for why), no shuffle; dedup/group on fp downstream
+    shuffles only the fingerprint table, never the corpus text."""
+    parts = winnow_parts(col, k, w)
+    grams_s, _ = parts["grams"]
+    sel_s, _ = parts["select"]
+    return df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}",
+        f"{grams_s} as __grams",
+    ).selectExpr(id_col, f"explode({sel_s}) as fp")
+
+
+def winnow_oracle_sql(col: str = "text", k: int = 5, w: int = 4,
+                      table: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    parts = winnow_parts(col, k, w)
+    _, grams_d = parts["grams"]
+    _, sel_d = parts["select"]
+    return f"""
+WITH src AS (SELECT {id_col}, coalesce({col}, '') as {col} FROM {table}),
+     grams AS (SELECT {id_col}, {grams_d} as g FROM src),
+     sel AS (SELECT {id_col}, {sel_d} as fps FROM grams)
+SELECT cast({id_col} as bigint) as {id_col}, unnest(fps) as fp FROM sel
+"""
 
 
 def gopher_quality(spark: SparkSession, sf_dir: str, col: str = "text",
