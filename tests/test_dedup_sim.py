@@ -298,6 +298,56 @@ def test_ivf_recall_at_nprobe(spark, vecs):
     assert top0 == [500]
 
 
+def test_ivf_matrix_path_matches_inline(spark, vecs, monkeypatch):
+    """Forcing the broadcast-matrix prober (cap -> 0) must return rows
+    identical to the inline-expression path on the same corpus — same
+    scores, same smaller-cid tie-breaks."""
+    inline = sim.ivf_topk(vecs, 16, n_queries=3, topk=5, c_mod=10,
+                          nprobe=3).collect()
+    monkeypatch.setattr(sim, "IVF_MAX_INLINE_TERMS", 0)
+    matrix = sim.ivf_topk(vecs, 16, n_queries=3, topk=5, c_mod=10,
+                          nprobe=3)
+    plan = matrix._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan  # really the vectorized UDF
+    assert sorted(map(tuple, matrix.collect())) == \
+        sorted(map(tuple, inline))
+
+
+def test_ivf_matrix_path_dim768_k1024_probe_all(spark):
+    """The production-embedding regime the inline expression can't
+    reach: dim=768, K=1024 (K*dim ~ 786k terms > IVF_MAX_INLINE_TERMS).
+    Probe-all through the broadcast-matrix path must equal exact brute
+    force — the same exhaustiveness identity the inline path proves at
+    dim 16."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    mat = rng.standard_normal((2048, 768))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(2048)]
+    vecs768 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    assert 1024 * 768 > sim.IVF_MAX_INLINE_TERMS
+    ivf = sim.ivf_topk(vecs768, 768, n_queries=3, topk=5, c_mod=2,
+                       nprobe=1024)
+    bf = sim.brute_force_topk(vecs768, n_queries=3, topk=5)
+    assert sorted(map(tuple, ivf.collect())) == \
+        sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_matrix_terms_cap_raises(spark, vecs):
+    """K*dim beyond the broadcast-state cap must refuse with the
+    actionable raise, not silently build a giant quantizer."""
+    import zseq.sim as s
+    old = s.IVF_MAX_MATRIX_TERMS
+    s.IVF_MAX_MATRIX_TERMS = 16
+    try:
+        with pytest.raises(ValueError, match="broadcast-state cap"):
+            sim.ivf_topk(vecs, 16, c_mod=10)
+    finally:
+        s.IVF_MAX_MATRIX_TERMS = old
+
+
 def test_ivf_no_centroids_raises(spark, vecs):
     # id 0 always satisfies id % c_mod == 0, so drop it to hit the guard
     no_zero = vecs.filter("vec_id > 0 AND vec_id < 50")
@@ -395,6 +445,23 @@ def test_dedup_corpus_plan_broadcasts_drop_set(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert out.count() == 49
+
+
+def test_dedup_corpus_large_drop_set_shuffles(spark):
+    """Above the broadcast gate the drop-set must NOT be forced into a
+    broadcast: the join falls back to a shuffled left_anti (an Exchange
+    on the corpus side) so a corpus-scale drop-set can't OOM executors.
+    Same answer either way."""
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = dedup.dedup_corpus(corpus, pairs, broadcast_max_rows=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(set(range(50)) - {2, 4})
 
 
 def test_winnow_guarantee_and_disjointness(spark):

@@ -452,18 +452,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         "component diameter exceeds max_iter; raise it")
 
 
+#: Broadcast the anti-join drop-set only below this many rows. A drop-set
+#: row is one long id (~8 bytes + overhead), so 4M rows is ~tens of MB on
+#: every executor — comfortably inside a default-sized JVM, far under the
+#: point where a forced broadcast OOMs. Real web corpora drop 30-80% of
+#: documents, so at scale the drop-set is corpus-sized and MUST shuffle.
+DEDUP_BROADCAST_MAX_ROWS = 4_000_000
+
+
 def dedup_corpus(df: DataFrame, pairs: DataFrame,
                  id_col: str = "doc_id",
-                 max_iter: int = 25) -> DataFrame:
+                 max_iter: int = 25,
+                 broadcast_max_rows: int = DEDUP_BROADCAST_MAX_ROWS
+                 ) -> DataFrame:
     """Drop near-duplicates: every pair-graph component keeps only its
-    smallest id; rows in no pair pass through untouched. The drop-set is
-    tiny relative to the corpus by the function's own contract (only
-    duplicate-cluster members), so it is BROADCAST into the anti-join —
-    the corpus itself is never shuffled (without the hint Spark
-    sort-merge-joins and shuffles the full corpus, because the
-    checkpointed drop-set has no size stats). ``max_iter`` passes
-    through to connected_components for deep transitive chains."""
+    smallest id; rows in no pair pass through untouched.
+
+    The drop-set's size is measured (a cheap count — the component
+    labels are already localCheckpoint'd) and the anti-join strategy is
+    chosen from it: a provably-small drop-set (<= ``broadcast_max_rows``)
+    is BROADCAST so the corpus is never shuffled; a corpus-scale
+    drop-set (real near-dup rates run 30-80% of a web crawl, i.e.
+    hundreds of billions of ids at 10^12 rows — broadcasting that OOMs
+    every executor) takes a plain shuffled left_anti and lets AQE pick
+    the physical join. ``max_iter`` passes through to
+    connected_components for deep transitive chains."""
     cc = connected_components(pairs, max_iter=max_iter)
     drop = cc.filter("doc_id != component") \
         .selectExpr(f"doc_id as {id_col}")
-    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+    if drop.count() <= broadcast_max_rows:
+        drop = F.broadcast(drop)
+    return df.join(drop, on=id_col, how="left_anti")

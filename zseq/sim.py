@@ -23,6 +23,8 @@ neighboring buckets for recall (probe count is the recall knob).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -232,7 +234,18 @@ def lsh_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
 # IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> probe
 # ---------------------------------------------------------------------------
 
-IVF_MAX_CENTROIDS = 4096
+#: Inline the quantizer into a SQL expression only up to this many K*dim
+#: terms. The cap is on K*dim, NOT K: the expression size (and Catalyst
+#: analysis cost) scales with the literal count, so K=4096 at dim=64 is
+#: fine (262144 terms, the testdata regime) while the SAME K at
+#: production dims 768-1536 would be a multi-MB projection Catalyst
+#: chokes on. Beyond the cap the broadcast-matrix path takes over.
+IVF_MAX_INLINE_TERMS = 262_144
+
+#: Hard cap on the quantizer's K*dim for the broadcast-matrix path:
+#: 16M int64 terms = 128 MB of broadcast state per executor — the point
+#: where "coarse quantizer as broadcast state" stops being coarse.
+IVF_MAX_MATRIX_TERMS = 16_777_216
 
 
 def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
@@ -243,9 +256,9 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
     and on L2-normalized corpora random-ish picks are the standard
     kmeans init anyway). Returns [(cid, quantized ints)] sorted by cid —
     a DRIVER collect of K rows, which is the point: the coarse quantizer
-    IS broadcast state in any IVF system. K is hard-capped at
-    IVF_MAX_CENTROIDS because the quantizer is inlined into a codegen'd
-    expression; beyond that raise c_mod (the error says so)."""
+    IS broadcast state in any IVF system. K*dim is hard-capped at
+    IVF_MAX_MATRIX_TERMS (128 MB of broadcast int64s); beyond that raise
+    c_mod (the error says so)."""
     import math
 
     rows = (
@@ -257,11 +270,11 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
         raise ValueError(
             f"ivf: no centroids (no {id_col} % {c_mod} == 0 rows) — "
             "lower c_mod")
-    if len(rows) > IVF_MAX_CENTROIDS:
+    if len(rows) * dim > IVF_MAX_MATRIX_TERMS:
         raise ValueError(
-            f"ivf: {len(rows)} centroids exceed the inlined-expression "
-            f"cap {IVF_MAX_CENTROIDS} — raise c_mod (or pass c_mod=None "
-            "to auto-size K ~ sqrt(N))")
+            f"ivf: {len(rows)} centroids x dim {dim} exceed the "
+            f"broadcast-state cap {IVF_MAX_MATRIX_TERMS} terms — raise "
+            "c_mod (or pass c_mod=None to auto-size K ~ sqrt(N))")
     out = []
     for r in sorted(rows, key=lambda r: r["cid"]):
         if len(r[vec_col]) != dim:
@@ -271,6 +284,36 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
         q = [int(math.floor(float(x) * QUANT)) for x in r[vec_col]]
         out.append((int(r["cid"]), q))
     return out
+
+
+def _ivf_probe_udf(df: DataFrame,
+                   cents: list[tuple[int, list[int]]], n: int):
+    """Vectorized (Arrow-batched) cell prober for quantizers too large
+    to inline: the (K, dim) int64 centroid matrix is an explicit Spark
+    BROADCAST, and each batch scores all K cells with one numpy matmul
+    (batch x dim) @ (dim x K), then takes the top-``n`` cids per row —
+    stable argsort on -score, so ties go to the smaller cid, exactly the
+    inline path's struct-max/reverse-sort semantics. No per-row Python,
+    no expression blow-up: Catalyst sees a single opaque projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([q for _, q in cents], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((cids, mat))
+
+    @pandas_udf("array<bigint>")
+    def probe(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        cids_, mat_ = bc.value
+        q = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            * QUANT).astype(np.int64)
+        scores = q @ mat_.T                       # (batch, K) exact int64
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cids_[order]))
+
+    return probe
 
 
 def _ivf_cell_structs(vec_col: str,
@@ -302,13 +345,16 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
     validated against the centroid vectors.
 
     Plan shape (the IVF scale story): cell assignment is a single
-    PROJECTION — the centroid matrix is inlined into the expression
-    (broadcast state, capped at IVF_MAX_CENTROIDS) and assignment is an
-    O(K) array_max (argmax), so the corpus is touched once with no join,
-    no shuffle, and no per-row sort; only the n_queries QUERY rows pay
-    the O(K log K) sort for their top-nprobe cells. The probe join
-    broadcasts (n_queries x nprobe) rows; one shuffle for the per-query
-    rank window. Probing all cells (nprobe >= centroid count)
+    PROJECTION, so the corpus is touched once with no join, no shuffle,
+    and no per-row sort. Two physically different projections, same
+    semantics: when K*dim <= IVF_MAX_INLINE_TERMS the centroid matrix is
+    inlined into a codegen'd expression (O(K) array_max argmax); beyond
+    that — production dims 768-1536 would otherwise blow Catalyst up on
+    a multi-MB expression — the matrix rides an explicit broadcast and
+    assignment is an Arrow-batched numpy matmul+argmax (_ivf_probe_udf).
+    Only the n_queries QUERY rows pay the top-nprobe sort. The probe
+    join broadcasts (n_queries x nprobe) rows; one shuffle for the
+    per-query rank window. Probing all cells (nprobe >= centroid count)
     degenerates to exact brute force — the recall knob is explicit."""
     import math
 
@@ -319,18 +365,30 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
         # K = N / c_mod ~ sqrt(N)  =>  c_mod ~ sqrt(N)
         c_mod = max(1, int(math.sqrt(max(n, 1))))
     cents = _ivf_centroids(df, c_mod, id_col, vec_col, dim)
-    cells = _ivf_cell_structs(vec_col, cents)
     base = df.selectExpr(f"cast({id_col} as bigint) as {id_col}", vec_col)
-    assigned = base.selectExpr(
-        id_col, vec_col,
-        f"-array_max({cells}).negc as cid")
-    q = (
-        base.filter(f"{id_col} < {n_queries}")
-        .selectExpr(
-            f"{id_col} as query_id", f"{vec_col} as qv",
-            f"explode(transform(slice(reverse(array_sort({cells})), "
-            f"1, {nprobe}), p -> -p.negc)) as cid")
-    )
+    if len(cents) * dim <= IVF_MAX_INLINE_TERMS:
+        cells = _ivf_cell_structs(vec_col, cents)
+        assigned = base.selectExpr(
+            id_col, vec_col,
+            f"-array_max({cells}).negc as cid")
+        q = (
+            base.filter(f"{id_col} < {n_queries}")
+            .selectExpr(
+                f"{id_col} as query_id", f"{vec_col} as qv",
+                f"explode(transform(slice(reverse(array_sort({cells})), "
+                f"1, {nprobe}), p -> -p.negc)) as cid")
+        )
+    else:
+        assign1 = _ivf_probe_udf(df, cents, 1)
+        proben = _ivf_probe_udf(df, cents, nprobe)
+        assigned = base.withColumn(
+            "cid", F.element_at(assign1(F.col(vec_col)), 1))
+        q = (
+            base.filter(f"{id_col} < {n_queries}")
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"),
+                    F.explode(proben(F.col(vec_col))).alias("cid"))
+        )
     joined = assigned.selectExpr(
         f"{id_col} as neighbor_id", f"{vec_col} as nv", "cid"
     ).join(F.broadcast(q), on="cid").filter(
