@@ -406,6 +406,10 @@ def test_gopher_rules_each_direction(spark, tmp_path):
         (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 "
             "18 19 20"),                                  # alpha + stopwords
         (5, good.replace(" ", "\n- ")),                   # bullet lines
+        (6, "\n".join([good] * 8 + [f"unique {i}" for i in range(4)])),
+        # ^ 7 repeated-line occurrences of 12 lines  -> dup-line rule
+        (7, "\n\n".join([good] * 5 + ["one-off closing paragraph"])),
+        # ^ 4 repeated-paragraph occurrences of 6    -> dup-para rule
     ]
     sf = str(tmp_path / "gsf")
     os.makedirs(sf)
@@ -420,6 +424,10 @@ def test_gopher_rules_each_direction(spark, tmp_path):
     assert rows[4]["ok_alpha_words"] is False
     assert rows[4]["ok_stopwords"] is False
     assert rows[5]["ok_bullet_lines"] is False
+    assert rows[6]["ok_dup_lines"] is False
+    assert rows[6]["ok_dup_paras"] is True    # one paragraph, no repeat
+    assert rows[7]["ok_dup_paras"] is False
+    assert rows[7]["ok_dup_lines"] is False   # repeated paras repeat lines
     kept = textops.gopher_filter(
         spark.createDataFrame(docs, "doc_id long, text string"),
         min_words=5)
@@ -462,6 +470,31 @@ def test_dedup_corpus_large_drop_set_shuffles(spark):
     assert "LeftAnti" in plan, plan
     assert sorted(r.doc_id for r in out.collect()) == \
         sorted(set(range(50)) - {2, 4})
+
+
+def test_contamination_planted_and_clean(spark):
+    """An eval doc sharing a long passage with train is flagged with
+    n_hit > 0; an eval doc over a disjoint alphabet reports n_hit = 0
+    and contaminated False; an eval doc too short to fingerprint
+    produces no row at all."""
+    from zseq import textops
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(1, f"intro text {passage} outro text"),
+         (2, "completely separate training material here")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question about {passage} indeed"),
+         (101, "zzz yyy xxx www vvv uuu qqq"),
+         (102, "hi")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in textops.contamination(train, ev).collect()}
+    assert rows[100]["contaminated"] is True and rows[100]["n_hit"] > 0
+    assert rows[100]["n_hit"] <= rows[100]["n_fp"]
+    assert rows[101]["contaminated"] is False and rows[101]["n_hit"] == 0
+    assert 102 not in rows
 
 
 def test_winnow_guarantee_and_disjointness(spark):

@@ -761,6 +761,43 @@ def _fingerprint_winnow_oracle() -> str:
     return textops.winnow_oracle_sql()
 
 
+#: Every doc_id % CONTAM_EVAL_MOD == 0 document spawns a synthetic eval
+#: doc carrying its first 60 chars (a planted train passage) plus a
+#: unique suffix — derivable identically in Spark and DuckDB, so the
+#: contamination report has an exact oracle AND a guaranteed-nonzero
+#: planted overlap.
+CONTAM_EVAL_MOD = 53
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval decontamination join on winnowing fingerprints:
+    train = the documents table; eval = planted-overlap docs derived
+    from every CONTAM_EVAL_MOD-th document (shared 60-char prefix +
+    unique tail). Per-eval-doc fingerprint counts, train-hit counts and
+    the contaminated verdict."""
+    from . import textops
+
+    train = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", "coalesce(text, '') as text")
+    ev = train.filter(f"doc_id % {CONTAM_EVAL_MOD} = 0").selectExpr(
+        "doc_id",
+        "substring(text, 1, 60) || ' zqx' || cast(doc_id as string) "
+        "as text")
+    return textops.contamination(train, ev)
+
+
+def _contamination_report_oracle() -> str:
+    from . import textops
+
+    train_from = ("SELECT doc_id, coalesce(text, '') as text "
+                  "FROM documents")
+    eval_from = (
+        "SELECT doc_id, substr(coalesce(text, ''), 1, 60) || ' zqx' || "
+        "cast(doc_id as varchar) as text FROM documents "
+        f"WHERE doc_id % {CONTAM_EVAL_MOD} = 0")
+    return textops.contamination_oracle_sql(train_from, eval_from)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
@@ -940,6 +977,7 @@ def queries() -> dict:
         "text_analyze": q_text_analyze,
         "quality_gopher": q_quality_gopher,
         "fingerprint_winnow": q_fingerprint_winnow,
+        "contamination_report": q_contamination_report,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1012,6 +1050,7 @@ def oracle_sql() -> dict:
         "text_analyze": _text_analyze_oracle(),
         "quality_gopher": _quality_gopher_oracle(),
         "fingerprint_winnow": _fingerprint_winnow_oracle(),
+        "contamination_report": _contamination_report_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         # dedup_minhash_lsh / dedup_simhash on the REAL documents table:

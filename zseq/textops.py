@@ -184,6 +184,14 @@ def gopher_flag_exprs(col: str = "text",
                         stop words (paper default 2)
       ok_bullet_lines   <= 90% of lines start with a bullet
       ok_ellipsis_lines <= 30% of lines end with '...'
+      ok_dup_lines      repeated line occurrences <= 30% of lines
+      ok_dup_paras      repeated paragraph (blank-line-separated)
+                        occurrences <= 30% of paragraphs
+
+    The repetition rules are the paper's duplicate-line / duplicate-
+    paragraph fractions — the highest-yield Gopher signal on crawl
+    data. "Repeated occurrences" = n - n_distinct, i.e. every copy
+    beyond a string's first counts toward the fraction.
     """
     # Gopher rules split on ANY whitespace (not just spaces): a
     # line-structured document must still word-count correctly, else the
@@ -218,6 +226,13 @@ def gopher_flag_exprs(col: str = "text",
              f"l -> l rlike '\\\\.\\\\.\\\\.$'))")
     ell_d = (f"len(list_filter({lines_d}, "
              f"l -> regexp_matches(l, '\\.\\.\\.$')))")
+    paras_s = f"split({col}, '\\n\\n')"
+    paras_d = f"string_split({col}, chr(10) || chr(10))"
+    np_s, np_d = f"size({paras_s})", f"len({paras_d})"
+    dupl_s = f"({nl_s} - size(array_distinct({lines_s})))"
+    dupl_d = f"({nl_d} - len(list_distinct({lines_d})))"
+    dupp_s = f"({np_s} - size(array_distinct({paras_s})))"
+    dupp_d = f"({np_d} - len(list_distinct({paras_d})))"
     return {
         "ok_word_count": (
             f"{nw_s} between {min_words} and {max_words}",
@@ -247,6 +262,14 @@ def gopher_flag_exprs(col: str = "text",
             f"10 * {ell_s} <= 3 * {nl_s}",
             f"10 * {ell_d} <= 3 * {nl_d}",
         ),
+        "ok_dup_lines": (
+            f"10 * {dupl_s} <= 3 * {nl_s}",
+            f"10 * {dupl_d} <= 3 * {nl_d}",
+        ),
+        "ok_dup_paras": (
+            f"10 * {dupp_s} <= 3 * {np_s}",
+            f"10 * {dupp_d} <= 3 * {np_d}",
+        ),
     }
 
 
@@ -266,6 +289,70 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", k: int = 5,
         f"cast({id_col} as bigint) as {id_col}",
         f"{grams_s} as __grams",
     ).selectExpr(id_col, f"explode({sel_s}) as fp")
+
+
+def contamination(train_df: DataFrame, eval_df: DataFrame,
+                  col: str = "text", k: int = 5, w: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train-vs-eval contamination report — the benchmark-decontamination
+    join every training pipeline runs before releasing a model: for each
+    EVAL document, how many of its winnowing fingerprints also occur
+    anywhere in the TRAIN corpus. Returns (id, n_fp, n_hit,
+    contaminated): n_fp = the doc's distinct fingerprint count, n_hit =
+    how many of those appear in train, contaminated = n_hit > 0 (the
+    winnowing guarantee makes that "shares a passage of >= w + k - 1
+    chars with some training doc").
+
+    Scale shape: both corpora collapse to fingerprint tables FIRST, so
+    the joins shuffle only (id, 16-byte-hash) rows — never document
+    text; the train side is additionally reduced to a DISTINCT
+    fingerprint set (one hash shuffle) before the left join that marks
+    eval hits. At 10^12 train docs everything downstream of the two
+    winnow projections is proportional to fingerprint counts, not
+    corpus bytes."""
+    from pyspark.sql import functions as F
+
+    train_fp = winnow_fingerprints(train_df, col, k, w, id_col) \
+        .select("fp").distinct()
+    eval_fp = winnow_fingerprints(eval_df, col, k, w, id_col)
+    marked = eval_fp.join(
+        train_fp.withColumn("__hit", F.lit(1)), on="fp", how="left")
+    return (
+        marked.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_fp"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+        .selectExpr(
+            f"cast({id_col} as bigint) as {id_col}",
+            "cast(n_fp as bigint) as n_fp",
+            "cast(n_hit as bigint) as n_hit",
+            "cast(n_hit > 0 as boolean) as contaminated")
+    )
+
+
+def contamination_oracle_sql(train_from: str, eval_from: str,
+                             col: str = "text", k: int = 5, w: int = 4,
+                             id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`contamination`. ``train_from`` /
+    ``eval_from`` are full SELECTs yielding ({id_col}, {col})."""
+    parts = winnow_parts(col, k, w)
+    _, grams_d = parts["grams"]
+    _, sel_d = parts["select"]
+    return f"""
+WITH tsrc AS ({train_from}),
+     esrc AS ({eval_from}),
+     tg AS (SELECT {id_col}, {grams_d} as g FROM tsrc),
+     tsel AS (SELECT {id_col}, {sel_d} as fps FROM tg),
+     tf AS (SELECT DISTINCT unnest(fps) as fp FROM tsel),
+     eg AS (SELECT {id_col}, {grams_d} as g FROM esrc),
+     esel AS (SELECT {id_col}, {sel_d} as fps FROM eg),
+     ef AS (SELECT {id_col}, unnest(fps) as fp FROM esel)
+SELECT cast(e.{id_col} as bigint) as {id_col},
+       cast(count(*) as bigint) as n_fp,
+       cast(count(t.fp) as bigint) as n_hit,
+       cast(count(t.fp) > 0 as boolean) as contaminated
+FROM ef e LEFT JOIN tf t ON e.fp = t.fp
+GROUP BY e.{id_col}
+"""
 
 
 def winnow_oracle_sql(col: str = "text", k: int = 5, w: int = 4,
