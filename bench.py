@@ -175,11 +175,41 @@ def stage_oracle(work: str) -> dict:
             "zbra_bytes_per_token": round(zbra_bytes / sample_tokens, 4)}
 
 
+def stage_kernel(work: str) -> dict:
+    """Spark-free single-core codec kernel (encode_table/decode_table on
+    an in-process synthetic chunk) — the in-run CONTENTION CONTROL: the
+    code on this path barely changes round to round, so a swing in this
+    number explains a same-sized swing in the wall numbers as host
+    noise, not an engine regression (round 3's 1.8x wall swing had to be
+    argued from the zbra_oracle stage; this is the purpose-built
+    version). Single chunk, one core, no JVM."""
+    import pyarrow.compute as pc
+
+    from zseq import synth, zseqfile
+
+    n = int(os.environ.get("ZSEQ_BENCH_KERNEL_DOCS", "150000"))
+    tbl = synth.tokens_table_arrow(n)
+    toks = int(pc.sum(tbl.column("n_tok")).as_py())
+    t0 = time.time()
+    buf = zseqfile.encode_table(tbl)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    back = zseqfile.decode_table(buf)
+    t_dec = time.time() - t0
+    if back.num_rows != n:
+        raise AssertionError(f"kernel decode rows {back.num_rows} != {n}")
+    return {"sec": round(t_enc + t_dec, 3),
+            "kernel_tokens": toks,
+            "kernel_tokens_per_sec": round(toks / t_enc),
+            "kernel_decode_tokens_per_sec": round(toks / t_dec)}
+
+
 STAGES = {
     "materialize": lambda work, arg: stage_materialize(work),
     "encode": lambda work, arg: stage_encode(work, int(arg)),
     "verify": lambda work, arg: stage_verify(work, int(arg)),
     "oracle": lambda work, arg: stage_oracle(work),
+    "kernel": lambda work, arg: stage_kernel(work),
 }
 
 
@@ -233,6 +263,7 @@ def main() -> None:
                     runs[lv].append(_run_stage(work, "encode", str(lv)))
         ver = _run_stage(work, "verify", str(HIGH))
         ora = _run_stage(work, "oracle")
+        ker = _run_stage(work, "kernel")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -270,6 +301,9 @@ def main() -> None:
         **({"scaling_efficiency_2_8": round(eff_2_8, 3)}
            if eff_2_8 is not None else {}),
         "statistic": "trimmed_median",
+        "kernel_tokens_per_sec": ker["kernel_tokens_per_sec"],
+        "kernel_decode_tokens_per_sec": ker["kernel_decode_tokens_per_sec"],
+        "kernel_tokens": ker["kernel_tokens"],
         "bytes_per_token": round(top["enc_bytes"] / tokens, 4),
         "zbra_bytes_per_token_sampled": ora["zbra_bytes_per_token"],
         "enc_bytes": top["enc_bytes"],
