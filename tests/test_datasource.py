@@ -362,3 +362,39 @@ def test_partition_packing_math(spark, tmp_path):
     r_tiny = ZseqSourceReader({"path": out,
                                "target_partition_bytes": "1"})
     assert len(r_tiny.partitions()) == 16  # one file per task
+
+
+def test_partition_packing_without_enc_bytes(spark, tmp_path):
+    """A manifest whose parts lack enc_bytes (older revision / foreign
+    writer) must still fan out: sizes fall back to the on-disk file
+    size, and with no sizes at all packing falls back to counts —
+    never one giant serial InputPartition."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+    from zseq import synth
+    from zseq.datasource import ZseqSourceReader
+
+    out = str(tmp_path / "nosizes")
+    df = synth.tokens_df_range(spark, 2000, partitions=16)
+    zenc.encode(df, out, partitions=16, mode="hash")
+    mpath = os.path.join(out, "manifest.json")
+    m = json.load(open(mpath))
+    for p in m["parts"]:
+        p.pop("enc_bytes", None)
+    json.dump(m, open(mpath, "w"))
+
+    r = ZseqSourceReader({"path": out})
+    groups = r.partitions()
+    files = [f for g in groups for f, _ in g.files]
+    assert sorted(files) == sorted(p for p, _, _ in r._parts)
+    assert all(s > 0 for _, _, s in r._parts)   # getsize fallback kicked in
+    assert len(groups) >= min(16, r._min_tasks)
+
+    # degenerate case: sizes genuinely unknowable -> count-based packing
+    r._parts = [(p, c, 0) for p, c, _ in r._parts]
+    groups0 = r.partitions()
+    files0 = [f for g in groups0 for f, _ in g.files]
+    assert sorted(files0) == sorted(files)
+    assert len(groups0) >= min(16, r._min_tasks)

@@ -33,6 +33,16 @@ def test_spark_roundtrip_bit_identical(spark, tokens_df, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(tokens_df)
 
 
+def test_decode_from_percent_encoded_path(spark, tokens_df, tmp_path):
+    """Spark's binaryFile source percent-encodes URI-special characters
+    in the dataset path (a space -> %20); the crc lookup must url-decode
+    rather than hard-failing every read with 'no crc32 entry'."""
+    out = str(tmp_path / "enc with space")
+    zenc.encode(tokens_df, out, partitions=2)
+    back = zdec.decode(spark, out)
+    assert _sorted_rows(back) == _sorted_rows(tokens_df)
+
+
 def test_manifest_metrics(spark, tokens_df, tmp_path):
     out = str(tmp_path / "enc2")
     res = zenc.encode(tokens_df, out, partitions=4)

@@ -26,6 +26,24 @@ def test_bad_magic():
         zseqfile.decode_table(b"NOT A ZSEQ FILE" + b"\x00" * 100)
 
 
+def test_magic_compat_reads_previous_revision():
+    """The reader accepts the pre-zone-map revision 00001 alongside the
+    current 00002 (one-way compatibility: new readers read old files;
+    old readers refuse new files on the version bytes). Chunk parsing is
+    flag-driven, so only the magic differs."""
+    import zseq
+
+    tbl = synth.tokens_table_arrow(500)
+    blob = zseqfile.encode_table(tbl)
+    assert blob[:16] == zseq.MAGIC
+    old = zseq.MAGIC_COMPAT[1] + blob[16:]
+    assert zseqfile.decode_table(old).equals(tbl)
+    # an unknown FUTURE revision must refuse, not misparse
+    future = b"||_ZSEQ||00099||" + blob[16:]
+    with pytest.raises(ValueError, match="magic"):
+        zseqfile.decode_table(future)
+
+
 def test_truncated_file():
     blob = zseqfile.encode_table(synth.tokens_table_arrow(100))
     with pytest.raises(Exception):

@@ -21,4 +21,10 @@ token-array equality on ``array<int32>`` columns.
 
 __version__ = "0.1.0"
 
-MAGIC = b"||_ZSEQ||00001||"
+# Format revision 00002 added zone-map sections behind chunk flags-bit1
+# (int bounds, then string/binary byte-bound envelopes). The version is
+# part of the magic so a reader at an older revision REFUSES new files
+# loudly instead of misparsing the zone section; new readers accept both
+# revisions (the flags bit says whether a zone section is present).
+MAGIC = b"||_ZSEQ||00002||"
+MAGIC_COMPAT = (MAGIC, b"||_ZSEQ||00001||")

@@ -88,9 +88,13 @@ def cmd_info(args) -> int:
             "mode": "stream",
             "partitions": len(parts),
             "parts": parts,
+            # union of keys with .get: an epoch written by a different
+            # code revision may carry different totals keys — report,
+            # don't KeyError.
             "totals": {
-                k: sum(e["totals"][k] for e in manifests)
-                for k in manifests[0]["totals"]
+                k: sum(e.get("totals", {}).get(k, 0) for e in manifests)
+                for k in sorted({kk for e in manifests
+                                 for kk in e.get("totals", {})})
             },
             "epochs": len(manifests),
         }

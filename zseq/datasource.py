@@ -206,9 +206,24 @@ class ZseqSourceReader(DataSourceReader):
         cols = options.get("columns")
         self._columns = ([c.strip() for c in cols.split(",") if c.strip()]
                          if cols else None)
+        # Size each part from the manifest; a manifest written without
+        # enc_bytes (older revision / foreign writer) would otherwise
+        # make every part weigh 0 and pack the whole dataset into ONE
+        # InputPartition, serializing the read — fall back to the actual
+        # file size on disk (and only then to 0, which the packer floors
+        # by parallelism anyway).
+        def _psize(path: str, p: dict) -> int:
+            n = int(p.get("enc_bytes", 0))
+            if n > 0:
+                return n
+            try:
+                return os.path.getsize(path)
+            except OSError:
+                return 0
+
         self._parts = [
             (os.path.join(self._dir, p["file"]), p.get("crc32"),
-             int(p.get("enc_bytes", 0)))
+             _psize(os.path.join(self._dir, p["file"]), p))
             for p in m.get("parts", [])
         ]
         # Task sizing: pack part files into ~target-byte groups, floored
@@ -319,6 +334,15 @@ class ZseqSourceReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         total = sum(s for _, _, s in self._parts)
+        if total == 0 and len(self._parts) > 1:
+            # No size information at all (manifest lacks enc_bytes and
+            # the files are unreadable/empty): count-based packing so the
+            # read still fans out instead of serializing on one task.
+            per = -(-len(self._parts) // max(1, self._min_tasks))
+            return [ZseqPartGroup(tuple(
+                        (path, crc)
+                        for path, crc, _ in self._parts[i:i + per]))
+                    for i in range(0, len(self._parts), per)]
         # effective group size: never larger than the byte target, never
         # so large that fewer than min_tasks groups cover the dataset
         eff = max(1, min(self._target_bytes,

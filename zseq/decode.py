@@ -20,13 +20,20 @@ from .encode import read_manifest
 from .zseqfile import ZseqReader
 
 
-def _crc_key(path: str) -> str:
-    """Manifest-crc lookup key: the last two path components
+def _crc_keys(path: str) -> tuple[str, ...]:
+    """Manifest-crc lookup keys: the last two path components
     ("<dataset-or-epoch-dir>/<part file>"). Basename alone is ambiguous
     for streaming layouts, where every epoch names its parts
-    part-00000.zseq...; the parent dir disambiguates."""
-    parts = path.rstrip("/").split("/")
-    return "/".join(parts[-2:])
+    part-00000.zseq...; the parent dir disambiguates. Spark's binaryFile
+    source hands back a Hadoop URI, which percent-encodes characters the
+    manifest (raw filesystem names) never would — so the url-DECODED key
+    is tried as well (raw first, covering a filename with a literal
+    '%'); the refuse-on-miss behavior is unchanged."""
+    from urllib.parse import unquote
+
+    raw = "/".join(path.rstrip("/").split("/")[-2:])
+    dec = "/".join(unquote(path).rstrip("/").split("/")[-2:])
+    return (raw,) if raw == dec else (raw, dec)
 
 
 def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
@@ -40,11 +47,13 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
             contents = batch.column("content").to_pylist()
             for path, content in zip(paths, contents):
                 if crcs is not None:
-                    want = crcs.get(_crc_key(path))
+                    want = next((crcs[k] for k in _crc_keys(path)
+                                 if k in crcs), None)
                     if want is None:
                         raise ValueError(
                             f"{path}: no crc32 entry in manifest for key "
-                            f"{_crc_key(path)!r} — refusing unverified read")
+                            f"{_crc_keys(path)!r} — refusing unverified "
+                            "read")
                     check_crc(content, want, path)
                 r = ZseqReader(content)
                 if list(r.schema.names) != list(schema_names):

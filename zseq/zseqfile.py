@@ -9,7 +9,8 @@ reader silently zero-fills truncated data; we refuse).
 
 File layout:
 
-    magic: 16 bytes            b"||_ZSEQ||00001||"
+    magic: 16 bytes            b"||_ZSEQ||00002||" (readers also accept
+                               the pre-zone-map revision 00001)
     meta_len: u32 LE           JSON metadata (writer info, free-form)
     meta: bytes
     schema_len: u32 LE         Arrow IPC schema
@@ -42,7 +43,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from . import MAGIC
+from . import MAGIC, MAGIC_COMPAT
 from . import column as COL
 
 
@@ -125,8 +126,10 @@ def encode_table(table_or_batches, schema: pa.Schema | None = None,
 class ZseqReader:
     def __init__(self, buf: bytes | memoryview):
         self._mv = memoryview(buf)
-        if bytes(self._mv[:16]) != MAGIC:
-            raise ValueError("not a .zseq file (bad magic)")
+        if bytes(self._mv[:16]) not in MAGIC_COMPAT:
+            raise ValueError(
+                "not a .zseq file (bad magic, or a format revision newer "
+                "than this reader)")
         pos = 16
         (mlen,) = struct.unpack_from("<I", self._mv, pos)
         pos += 4
