@@ -174,3 +174,118 @@ def test_string_nulls_and_type_mismatch_stay_conservative():
     out2 = pa.Table.from_batches(
         list(r2.batches(predicate=[("s", ">", 42)])), schema=r2.schema)
     assert out2.num_rows == 4
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: pruned decode == full decode + exact filter, on data
+# crafted to hit truncated-envelope boundaries (16-byte prefixes, 0xFF
+# runs). Zone-map pruning is correctness-critical — a wrong skip silently
+# DROPS rows — so the directed tests above are backed by ≥200 random
+# predicate/data combinations here.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_INT_POOL = [-(2 ** 63), -(2 ** 63) + 1, -(2 ** 31), -257, -1, 0, 1, 2,
+             255, 256, 2 ** 31 - 1, 2 ** 31, 2 ** 63 - 2, 2 ** 63 - 1]
+_P16 = "a" * 16  # the zone-map envelope truncation width
+_STR_POOL = [
+    "", "a", "a" * 15, _P16, "a" * 17, _P16 + "b", _P16 + "￿",
+    "ÿ" * 8, "ÿ" * 9,            # C3 BF utf-8 runs: 16/18 bytes
+    "\U0010ffff" * 4,                      # F4 8F BF BF x4 = exactly 16
+    "\U0010ffff" * 4 + "x", "m" * 20, "zz", "prefixprefixpref",
+]
+_BIN_POOL = [
+    b"", b"\x00", b"\xff" * 15, b"\xff" * 16, b"\xff" * 17,
+    b"\xff" * 16 + b"\x00", b"ab\xff" * 6, b"prefixprefixpref" + b"\x01",
+    b"prefixprefixpref" + b"\xff",
+]
+
+_ints = st.one_of(st.none(), st.sampled_from(_INT_POOL),
+                  st.integers(-10 ** 6, 10 ** 6))
+_strs = st.one_of(st.none(), st.sampled_from(_STR_POOL),
+                  st.text(max_size=24))
+_bins = st.one_of(st.none(), st.sampled_from(_BIN_POOL),
+                  st.binary(max_size=24))
+
+_OPS_FUZZ = [">", ">=", "<", "<=", "=", "!=", "in"]
+
+
+def _conjunct():
+    def mk(col, op, pool):
+        if op == "in":
+            return st.lists(pool, min_size=0, max_size=4).map(
+                lambda vs: (col, op, tuple(vs)))
+        return pool.map(lambda v: (col, op, v))
+
+    pools = {"i": st.sampled_from(_INT_POOL),
+             "ts": st.sampled_from(_INT_POOL),
+             "s": st.sampled_from(_STR_POOL),
+             "b": st.sampled_from(_BIN_POOL)}
+    return st.tuples(st.sampled_from(list(pools)),
+                     st.sampled_from(_OPS_FUZZ)).flatmap(
+        lambda co: mk(co[0], co[1], pools[co[0]]))
+
+
+def _match(v, op, lit):
+    """Reference predicate semantics: bytewise for str (utf-8) / bytes,
+    numeric for ints; NULL never matches."""
+    if v is None:
+        return False
+    if isinstance(v, str):
+        v = v.encode()
+    if isinstance(lit, str):
+        lit = lit.encode()
+    if op == "in":
+        lits = [x.encode() if isinstance(x, str) else x for x in lit]
+        return v in lits
+    return {">": v > lit, ">=": v >= lit, "<": v < lit,
+            "<=": v <= lit, "=": v == lit, "!=": v != lit}[op]
+
+
+@settings(max_examples=220, deadline=None)
+@given(
+    n=st.integers(1, 90),
+    data=st.data(),
+    block=st.sampled_from([7, 16, 64]),
+    preds=st.lists(_conjunct(), min_size=1, max_size=2),
+)
+def test_pushdown_prune_never_drops_rows(n, data, block, preds):
+    ints = data.draw(st.lists(_ints, min_size=n, max_size=n))
+    tss = data.draw(st.lists(_ints, min_size=n, max_size=n))
+    strs = data.draw(st.lists(_strs, min_size=n, max_size=n))
+    bins = data.draw(st.lists(_bins, min_size=n, max_size=n))
+    tbl = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "i": pa.array(ints, type=pa.int64()),
+        "ts": pa.array(tss, type=pa.timestamp("us")),
+        "s": pa.array(strs, type=pa.string()),
+        "b": pa.array(bins, type=pa.binary()),
+    })
+    buf = zseqfile.encode_table(tbl.to_batches(max_chunksize=block),
+                                schema=tbl.schema)
+    full = zseqfile.decode_table(buf)
+    pruned = zseqfile.decode_table(buf, predicate=list(preds))
+
+    cols = {"i": ints, "ts": tss, "s": strs, "b": bins}
+    want = {rid for rid in range(n)
+            if all(_match(cols[c][rid], op, lit) for c, op, lit in preds)}
+    got_rids = set(pruned.column("rid").to_pylist())
+    # 1. no matching row may be dropped by block pruning
+    assert want <= got_rids, (preds, want - got_rids)
+
+    # 2. pruning returns a sub(multi)set of the full decode, row-exact
+    # (ts compared in the int64 storage domain: extreme values overflow
+    # Python datetime in to_pylist)
+    def rows_of(t):
+        cs = {name: (t.column(name).cast(pa.int64()) if name == "ts"
+                     else t.column(name)).to_pylist()
+              for name in t.column_names}
+        return {cs["rid"][j]: tuple(cs[name][j] for name in t.column_names)
+                for j in range(t.num_rows)}
+
+    full_rows = rows_of(full)
+    assert full.num_rows == n
+    for rid, row in rows_of(pruned).items():
+        assert full_rows[rid] == row
