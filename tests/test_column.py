@@ -139,20 +139,29 @@ def test_decimal_roundtrip():
     assert rt(arr).to_pylist() == arr.to_pylist()
     big = pa.array([Decimal("999999999999999999")], type=pa.decimal128(18, 0))
     assert rt(big).to_pylist() == big.to_pylist()
-    with pytest.raises(NotImplementedError, match="precision"):
-        C.encode_column(pa.array([Decimal("1") * 10**20],
-                                 type=pa.decimal128(25, 0)))
+    # precision > 18 takes the two-limb layout
+    wide = pa.array([Decimal(10) ** 24, None, -(Decimal(10) ** 24),
+                     Decimal("9" * 38), Decimal("-" + "9" * 38),
+                     Decimal(0)],
+                    type=pa.decimal128(38, 0))
+    assert rt(wide).to_pylist() == wide.to_pylist()
+    with pytest.raises(NotImplementedError, match="decimal128"):
+        C.encode_column(pa.array([Decimal("1")], type=pa.decimal256(50, 0)))
 
 
 def test_spark_struct_map_decimal_roundtrip_via_file():
     """Struct/map/decimal columns through the full .zseq file layer."""
     from zseq import zseqfile
 
+    from decimal import Decimal
+
     tbl = pa.table({
         "id": pa.array([1, 2, 3], type=pa.int64()),
         "s": NESTED[0],
         "m": pa.array([{"a": 1}, None, {}], type=pa.map_(pa.string(),
                                                          pa.int64())),
+        "d38": pa.array([Decimal(10) ** 25, None, -(Decimal(10) ** 25)],
+                        type=pa.decimal128(38, 2)),
     })
     out = zseqfile.decode_table(zseqfile.encode_table(tbl))
     assert out.to_pylist() == tbl.to_pylist()
@@ -208,6 +217,33 @@ def test_decimal_roundtrip_property(ints):
     rows = [None if v is None else Decimal(v) / 100 for v in ints]
     arr = pa.array(rows, type=pa.decimal128(18, 2))
     assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=80, deadline=None)
+@given(hst.lists(
+    hst.one_of(hst.none(),
+               hst.integers(-(10 ** 38) + 1, 10 ** 38 - 1),
+               # cluster around the limb boundary where hi flips between
+               # 0/-1 (sign extension) and a real second limb
+               hst.integers(2 ** 63 - 4, 2 ** 63 + 4),
+               hst.integers(-(2 ** 63) - 4, -(2 ** 63) + 4)),
+    max_size=40,
+))
+def test_decimal38_two_limb_roundtrip_property(ints):
+    """decimal(38, x) over the FULL 38-digit unscaled range (two-limb
+    encoding): bit-exact roundtrip incl. nulls, both scales."""
+    import decimal
+    from decimal import Decimal
+
+    # the default context rounds to 28 significant digits — widen it so
+    # the 38-digit unscaled values stay exact through scaleb
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for scale in (0, 4):
+            rows = [None if v is None else Decimal(v).scaleb(-scale)
+                    for v in ints]
+            arr = pa.array(rows, type=pa.decimal128(38, scale))
+            assert rt(arr).to_pylist() == arr.to_pylist()
 
 
 def test_decimal_null_slots_with_garbage_bytes():

@@ -315,18 +315,38 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             body += struct.pack("<I", len(chunk)) + chunk
         return head(K_ENUM) + tseg + bytes(body)
     if pa.types.is_decimal(t):
-        if t.precision > 18:
-            raise NotImplementedError(
-                f"zseq: decimal precision {t.precision} > 18 (values would "
-                "not fit the int64 codec domain)"
-            )
+        if not pa.types.is_decimal128(t):
+            # decimal256's buffer is 32 B/value — the 16 B limb math below
+            # would silently misread it, so refuse loudly.
+            raise NotImplementedError(f"zseq: {t} not supported "
+                                      "(decimal128 precisions 1-38 are)")
         # decimal128 buffer: 16B LE per value; low word is the value for
         # precision <= 18, high word its sign extension.
         buf = arr.buffers()[1]
         raw = np.frombuffer(buf, dtype=np.int64,
                             count=2 * (arr.offset + n))
         raw = raw.reshape(-1, 2)[arr.offset:]
-        lo64, hi64 = raw[:, 0].copy(), raw[:, 1]
+        lo64, hi64 = raw[:, 0].copy(), raw[:, 1].copy()
+        if t.precision > 18:
+            # Two-limb layout (precision 19-38, e.g. the lakehouse-common
+            # decimal(38, x)): the 128-bit LE pair rides as TWO int64
+            # segments, low limb then high limb, each through the normal
+            # int codec pipeline. The high limb is the sign extension for
+            # every |value| < 2^63 — i.e. almost always CONST/RLE, so the
+            # wide type costs near-zero extra bytes until values actually
+            # need the range. The layout is keyed on the header's
+            # precision byte (old files can only contain <= 18, which the
+            # writer refused to widen), so no extra format flag is spent.
+            if valid is not None:
+                lo64 = np.where(valid, lo64, 0)
+                hi64 = np.where(valid, hi64, 0)
+            lseg = IC.encode_ints(lo64)
+            hseg = IC.encode_ints(hi64)
+            note(lseg[0], IC.INT_CODEC_NAMES)
+            if stats is not None:
+                stats[path + ".hi"] = IC.INT_CODEC_NAMES[hseg[0]]
+            return head(K_DECIMAL) + struct.pack(
+                "<Bb", t.precision, t.scale) + lseg + hseg
         # Null slots may carry arbitrary buffer bytes (legal in Arrow —
         # compute kernels / IPC produce non-canonical garbage there), so
         # the 64-bit range check only applies to valid slots.
@@ -660,10 +680,13 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         precision, scale = struct.unpack_from("<Bb", mv, pos)
         pos += 2
         v64, pos = IC.decode_ints(mv, pos, n)
-        hi = v64 >> 63
         raw = np.empty((n, 2), dtype=np.int64)
         raw[:, 0] = v64
-        raw[:, 1] = hi
+        if precision > 18:
+            # two-limb layout: high limb follows as its own segment
+            raw[:, 1], pos = IC.decode_ints(mv, pos, n)
+        else:
+            raw[:, 1] = v64 >> 63
         body = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     raise ValueError(f"unknown column kind {kind}")

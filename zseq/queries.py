@@ -487,6 +487,58 @@ FROM lineitem
 """
 
 
+def q_codec_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K_DECIMAL two-limb layout (precision 19-38 — the lakehouse-common
+    decimal(38,x) the <=18 path refuses): unscaled values are built
+    arithmetically PAST the int64 range (orderkey x a 20-digit constant,
+    alternating sign), so the high limb carries real magnitude bits, not
+    just sign extension. The decimal roundtrips through
+    encode_column/decode_column and the DECODED value is returned as its
+    exact digit string — any limb-split, codec, or reassembly bug breaks
+    the value hash. Extension beyond the reference's i64/f64 data model
+    (logical.rs:10-24); layout at column.py K_DECIMAL."""
+    import pyarrow.compute as _pc
+
+    from .session import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as bigint) as l_orderkey",
+        "cast(l_linenumber as bigint) as l_linenumber",
+        "cast((cast(l_orderkey as decimal(38,0)) * 12345678901234567890 "
+        "+ l_linenumber) * (case when l_linenumber % 2 = 0 then -1 "
+        "else 1 end) as decimal(38,0)) as wide_dec")
+
+    def fn(batches):
+        from zseq import column as C
+
+        for b in batches:
+            arr = b.column(2)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            blob = C.encode_column(arr, {}, "d")
+            dec, _ = C.decode_column(memoryview(blob), 0, arr.type,
+                                     len(arr))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1),
+                 _pc.cast(dec, pa.string())],
+                names=["l_orderkey", "l_linenumber", "dec_rt"])
+
+    return df.mapInArrow(
+        fn, "l_orderkey long, l_linenumber long, dec_rt string")
+
+
+_Q_DECIMAL38_ORACLE = """
+SELECT cast(l_orderkey as bigint) as l_orderkey,
+       cast(l_linenumber as bigint) as l_linenumber,
+       cast((cast(l_orderkey as hugeint) * 12345678901234567890
+             + l_linenumber)
+            * (case when l_linenumber % 2 = 0 then -1 else 1 end)
+            as varchar) as dec_rt
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Schema / logical-layer operator queries (SURVEY.md §2.1 L1-L7)
 # ---------------------------------------------------------------------------
@@ -964,6 +1016,7 @@ def queries() -> dict:
         "codec_struct": q_codec_struct,
         "codec_map": q_codec_map,
         "codec_decimal": q_codec_decimal,
+        "codec_decimal38": q_codec_decimal38,
         "codec_bool": q_codec_bool,
         "codec_float32": q_codec_float32,
         "validate_date_range": q_validate_date_range,
@@ -1032,6 +1085,7 @@ def oracle_sql() -> dict:
         "codec_struct": _Q_STRUCT_ORACLE,
         "codec_map": _Q_MAP_ORACLE,
         "codec_decimal": _Q_DECIMAL_ORACLE,
+        "codec_decimal38": _Q_DECIMAL38_ORACLE,
         "codec_bool": _Q_BOOL_ORACLE,
         "codec_float32": _Q_FLOAT32_ORACLE,
         "validate_date_range": _Q_VALIDATE_ORACLE,
