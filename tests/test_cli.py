@@ -174,3 +174,21 @@ def test_info_on_streaming_layout(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["mode"] == "stream"
     assert rep["totals"]["rows"] == 200
+
+    # an epoch written by a different code revision may carry different
+    # totals keys — info must union + report, not KeyError
+    import os
+
+    ep1 = streaming.epoch_dir(out, 1)
+    mpath = os.path.join(ep1, "manifest.json")
+    m = json.load(open(mpath))
+    m["totals"].pop("list_elems", None)
+    m["totals"]["future_metric"] = 7
+    json.dump(m, open(mpath, "w"))
+    assert main(["info", out]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["totals"]["rows"] == 200
+    assert rep2["totals"]["future_metric"] == 7
+    assert rep2["totals"]["list_elems"] == \
+        json.load(open(os.path.join(streaming.epoch_dir(out, 0),
+                                    "manifest.json")))["totals"]["list_elems"]
