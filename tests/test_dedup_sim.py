@@ -497,6 +497,26 @@ def test_contamination_planted_and_clean(spark):
     assert 102 not in rows
 
 
+def test_decontaminate_train_drops_overlapping_docs(spark):
+    """decontaminate_train removes exactly the train docs sharing a
+    passage with eval; clean train docs and fingerprint-less short docs
+    survive."""
+    from zseq import textops
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(1, f"intro text {passage} outro text"),
+         (2, "completely separate training material here"),
+         (3, f"another leak of {passage} in training"),
+         (4, "hi")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question about {passage} indeed")],
+        "doc_id long, text string")
+    kept = textops.decontaminate_train(train, ev)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+
+
 def test_winnow_guarantee_and_disjointness(spark):
     """The winnowing guarantee: documents sharing a substring of length
     >= w + k - 1 (= 8 at k=5, w=4) share at least one fingerprint;

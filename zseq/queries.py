@@ -850,6 +850,51 @@ def _contamination_report_oracle() -> str:
     return textops.contamination_oracle_sql(train_from, eval_from)
 
 
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement half of the contamination report: the train corpus
+    (documents) with every doc sharing a winnowing fingerprint with the
+    planted eval set DROPPED; returns surviving doc ids."""
+    from pyspark.sql import functions as F
+
+    from . import textops
+
+    train = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", "coalesce(text, '') as text")
+    ev = train.filter(f"doc_id % {CONTAM_EVAL_MOD} = 0").selectExpr(
+        "doc_id",
+        "substring(text, 1, 60) || ' zqx' || cast(doc_id as string) "
+        "as text")
+    # k=12/w=8 (shared-substring guarantee >= 19 chars): corpus-wide
+    # common English 8-char runs make the default k=5 drop EVERY doc on
+    # this synthetic table — correct but degenerate; the longer gram
+    # keeps the query discriminative (planted sources drop, rest stay).
+    return textops.decontaminate_train(train, ev, k=12, w=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _decontaminate_train_oracle() -> str:
+    from . import textops
+
+    parts = textops.winnow_parts("text", k=12, w=8)
+    _, grams_d = parts["grams"]
+    _, sel_d = parts["select"]
+    return f"""
+WITH tsrc AS (SELECT doc_id, coalesce(text, '') as text FROM documents),
+     esrc AS (SELECT doc_id, substr(coalesce(text, ''), 1, 60) || ' zqx'
+                     || cast(doc_id as varchar) as text
+              FROM documents WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+     eg AS (SELECT doc_id, {grams_d} as g FROM esrc),
+     esel AS (SELECT doc_id, {sel_d} as fps FROM eg),
+     ef AS (SELECT DISTINCT unnest(fps) as fp FROM esel),
+     tg AS (SELECT doc_id, {grams_d} as g FROM tsrc),
+     tsel AS (SELECT doc_id, {sel_d} as fps FROM tg),
+     tf AS (SELECT doc_id, unnest(fps) as fp FROM tsel),
+     bad AS (SELECT DISTINCT t.doc_id FROM tf t JOIN ef e ON t.fp = e.fp)
+SELECT cast(doc_id as bigint) as doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
@@ -1031,6 +1076,7 @@ def queries() -> dict:
         "quality_gopher": q_quality_gopher,
         "fingerprint_winnow": q_fingerprint_winnow,
         "contamination_report": q_contamination_report,
+        "decontaminate_train": q_decontaminate_train,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1105,6 +1151,7 @@ def oracle_sql() -> dict:
         "quality_gopher": _quality_gopher_oracle(),
         "fingerprint_winnow": _fingerprint_winnow_oracle(),
         "contamination_report": _contamination_report_oracle(),
+        "decontaminate_train": _decontaminate_train_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         # dedup_minhash_lsh / dedup_simhash on the REAL documents table:

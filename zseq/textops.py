@@ -329,6 +329,26 @@ def contamination(train_df: DataFrame, eval_df: DataFrame,
     )
 
 
+def decontaminate_train(train_df: DataFrame, eval_df: DataFrame,
+                        col: str = "text", k: int = 5, w: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """The enforcement half of :func:`contamination`: drop every TRAIN
+    document sharing at least one winnowing fingerprint with the eval
+    corpus (i.e. a passage of >= w + k - 1 chars), returning the cleaned
+    train corpus. Composes the same verified pieces: eval collapses to a
+    DISTINCT fingerprint set, a fingerprint-table semi-join finds the
+    contaminated train ids, and those ids anti-join the corpus — text
+    itself never shuffles, and both join inputs are fingerprint/id-sized.
+    The eval fingerprint set is tiny by nature (benchmarks, not crawls),
+    so Spark/AQE broadcasts it unhinted at any train scale."""
+    eval_fp = winnow_fingerprints(eval_df, col, k, w, id_col) \
+        .select("fp").distinct()
+    bad_ids = winnow_fingerprints(train_df, col, k, w, id_col) \
+        .join(eval_fp, on="fp", how="left_semi") \
+        .select(id_col).distinct()
+    return train_df.join(bad_ids, on=id_col, how="left_anti")
+
+
 def contamination_oracle_sql(train_from: str, eval_from: str,
                              col: str = "text", k: int = 5, w: int = 4,
                              id_col: str = "doc_id") -> str:
