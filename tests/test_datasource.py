@@ -89,6 +89,35 @@ def test_pushdown_unit_prunes_blocks(registered, tmp_path_factory):
     assert 0 < got_rows < 1000
 
 
+def test_decimal_filter_pushdown_matches(registered, tmp_path_factory):
+    """decimal(<=18) predicates push into unscaled-int zone maps: results
+    match the source exactly; a literal not representable at the
+    column's scale is simply not pushed (Spark still filters exactly)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from zseq.datasource import ZseqSourceReader
+
+    out = str(tmp_path_factory.mktemp("dsd") / "prices")
+    src = registered.range(0, 1000).selectExpr(
+        "id", "cast(cast(id as decimal(12,2)) / 100 as decimal(12,2)) "
+        "as price")
+    src.write.format("zseq").mode("overwrite") \
+        .option("batch_rows", "100").save(out)
+    got = registered.read.format("zseq").load(out).filter("price > 7.5")
+    want = src.filter("price > 7.5")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+    import decimal
+
+    r = ZseqSourceReader({"path": out})
+    r.pushFilters([GreaterThan(("price",), decimal.Decimal("7.50"))])
+    assert r._predicate == [("price", ">", 750)]   # unscaled cents
+    r2 = ZseqSourceReader({"path": out})
+    r2.pushFilters([GreaterThan(("price",), decimal.Decimal("7.505"))])
+    assert r2._predicate == []                     # not exact at scale 2
+
+
 def test_columns_option_prunes_schema(registered, ds_dir):
     df = registered.read.format("zseq").option("columns", "doc_id,n_tok") \
         .load(ds_dir)

@@ -204,6 +204,10 @@ _BIN_POOL = [
 
 _ints = st.one_of(st.none(), st.sampled_from(_INT_POOL),
                   st.integers(-10 ** 6, 10 ** 6))
+# decimal(14,2): unscaled storage ints; predicates cross in this domain
+_DEC_POOL = [-(10 ** 13), -101, -100, -1, 0, 1, 99, 100, 10 ** 13]
+_decs = st.one_of(st.none(), st.sampled_from(_DEC_POOL),
+                  st.integers(-10 ** 6, 10 ** 6))
 _strs = st.one_of(st.none(), st.sampled_from(_STR_POOL),
                   st.text(max_size=24))
 _bins = st.one_of(st.none(), st.sampled_from(_BIN_POOL),
@@ -221,6 +225,7 @@ def _conjunct():
 
     pools = {"i": st.sampled_from(_INT_POOL),
              "ts": st.sampled_from(_INT_POOL),
+             "d": st.sampled_from(_DEC_POOL),
              "s": st.sampled_from(_STR_POOL),
              "b": st.sampled_from(_BIN_POOL)}
     return st.tuples(st.sampled_from(list(pools)),
@@ -256,10 +261,17 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
     tss = data.draw(st.lists(_ints, min_size=n, max_size=n))
     strs = data.draw(st.lists(_strs, min_size=n, max_size=n))
     bins = data.draw(st.lists(_bins, min_size=n, max_size=n))
+    decs = data.draw(st.lists(_decs, min_size=n, max_size=n))
+    import decimal
+    with decimal.localcontext() as ctx:
+        ctx.prec = 40
+        dec_vals = [None if v is None else decimal.Decimal(v).scaleb(-2)
+                    for v in decs]
     tbl = pa.table({
         "rid": pa.array(np.arange(n, dtype=np.int64)),
         "i": pa.array(ints, type=pa.int64()),
         "ts": pa.array(tss, type=pa.timestamp("us")),
+        "d": pa.array(dec_vals, type=pa.decimal128(14, 2)),
         "s": pa.array(strs, type=pa.string()),
         "b": pa.array(bins, type=pa.binary()),
     })
@@ -268,7 +280,7 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
     full = zseqfile.decode_table(buf)
     pruned = zseqfile.decode_table(buf, predicate=list(preds))
 
-    cols = {"i": ints, "ts": tss, "s": strs, "b": bins}
+    cols = {"i": ints, "ts": tss, "d": decs, "s": strs, "b": bins}
     want = {rid for rid in range(n)
             if all(_match(cols[c][rid], op, lit) for c, op, lit in preds)}
     got_rids = set(pruned.column("rid").to_pylist())
@@ -289,3 +301,40 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
     assert full.num_rows == n
     for rid, row in rows_of(pruned).items():
         assert full_rows[rid] == row
+
+
+def test_decimal_predicate_skips_with_sorted_data():
+    """decimal(<=18) chunks derive int zone maps in the UNSCALED domain:
+    a sorted price column prunes exactly like an int column; two-limb
+    decimal38 chunks never prune (conservative, no wrong skips)."""
+    from decimal import Decimal
+
+    prices = pa.table({
+        "k": pa.array(np.arange(10000, dtype=np.int64)),
+        "price": pa.array([Decimal(i) / 100 for i in range(10000)],
+                          type=pa.decimal128(12, 2)),
+    })
+    buf = zseqfile.encode_table(prices.to_batches(max_chunksize=1000),
+                                schema=prices.schema)
+    r = ZseqReader(buf)
+    # storage domain: cents — price >= 90.00 is unscaled 9000
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("price", ">=", 9000)])),
+        schema=r.schema)
+    assert r.blocks_skipped == 9
+    assert r.blocks_read == 1
+    assert set(out.column("k").to_pylist()) == set(range(9000, 10000))
+
+    wide = pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "p38": pa.array([Decimal(i) for i in range(100)],
+                        type=pa.decimal128(38, 0)),
+    })
+    buf38 = zseqfile.encode_table(wide.to_batches(max_chunksize=10),
+                                  schema=wide.schema)
+    r38 = ZseqReader(buf38)
+    out38 = pa.Table.from_batches(
+        list(r38.batches(predicate=[("p38", ">", 10 ** 20)])),
+        schema=r38.schema)
+    assert r38.blocks_skipped == 0          # no zone maps -> no pruning
+    assert out38.num_rows == 100            # superset semantics intact

@@ -489,6 +489,14 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple | None]:
     if kind == K_INT:
         pos += 2  # width, signed
         zm = IC.segment_zone(mv, pos, n)
+    elif kind == K_DECIMAL:
+        precision, _scale = struct.unpack_from("<Bb", mv, pos)
+        # Single-limb decimals: the unscaled int64 segment's derived
+        # bounds ARE the value bounds (predicate literals cross in the
+        # unscaled storage domain). Two-limb (>18) bounds would need
+        # limb recombination — not derived, so those chunks never prune
+        # (conservative).
+        zm = IC.segment_zone(mv, pos + 2, n) if precision <= 18 else None
     elif kind != K_BINARY:
         zm = None
     return kind, zm

@@ -251,6 +251,7 @@ class ZseqSourceReader(DataSourceReader):
             if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
             or pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
             or pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+            or (pa.types.is_decimal128(f.type) and f.type.precision <= 18)
         }
         self._predicate: list[tuple] = []
 
@@ -267,6 +268,21 @@ class ZseqSourceReader(DataSourceReader):
         t = self._pushtypes.get(col)
         if t is None or isinstance(value, bool):
             return None
+        if pa.types.is_decimal(t):
+            # decimal(<=18) zone maps live in the UNSCALED int domain;
+            # push only literals exactly representable at the column's
+            # scale (a 28-digit default Decimal context would round, so
+            # widen it).
+            import decimal as _dec
+
+            if not isinstance(value, _dec.Decimal):
+                return None
+            with _dec.localcontext() as ctx:
+                ctx.prec = 60
+                scaled = value.scaleb(t.scale)
+                if scaled != scaled.to_integral_value():
+                    return None
+                return int(scaled)
         if isinstance(value, str):
             return value if (pa.types.is_string(t)
                              or pa.types.is_large_string(t)) else None
