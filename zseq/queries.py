@@ -1008,6 +1008,20 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(df, _EMB_DIM, c_mod=50, nprobe=2)
 
 
+def q_sim_ivf_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF broadcast-matrix assignment path (the production-dim
+    regime where inlining K x dim literals would blow up Catalyst),
+    FORCED here via max_inline_terms=0 on the same corpus/constants as
+    sim_ivf_topk — so the SAME static oracle must hash-match: the two
+    physical paths are semantically identical by contract (stable argmax
+    ties to the smaller cid)."""
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(df, _EMB_DIM, c_mod=50, nprobe=2,
+                        max_inline_terms=0)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN with Hamming-2 multi-probe. bits is PINNED (not auto-sized)
     so the static oracle SQL matches at every sf; bits=None auto-sizing
@@ -1089,6 +1103,7 @@ def queries() -> dict:
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_topk_matrix": q_sim_ivf_topk_matrix,
     }
 
 
@@ -1166,6 +1181,7 @@ def oracle_sql() -> dict:
         "sim_lsh_buckets": _sim_buckets_oracle(),
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
         "sim_ivf_topk": _sim_ivf_oracle(),
+        "sim_ivf_topk_matrix": _sim_ivf_oracle(),
     }
 
 

@@ -336,7 +336,8 @@ def _ivf_cell_structs(vec_col: str,
 def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
              c_mod: int | None = 50, nprobe: int = 2,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             max_inline_terms: int | None = None) -> DataFrame:
     """IVF ANN: every corpus row is assigned to its nearest centroid's
     cell (argmax quantized dot, ties to the smaller cid); a query probes
     its ``nprobe`` best cells and is reranked exactly against only those
@@ -366,7 +367,9 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
         c_mod = max(1, int(math.sqrt(max(n, 1))))
     cents = _ivf_centroids(df, c_mod, id_col, vec_col, dim)
     base = df.selectExpr(f"cast({id_col} as bigint) as {id_col}", vec_col)
-    if len(cents) * dim <= IVF_MAX_INLINE_TERMS:
+    inline_cap = (IVF_MAX_INLINE_TERMS if max_inline_terms is None
+                  else max_inline_terms)
+    if len(cents) * dim <= inline_cap:
         cells = _ivf_cell_structs(vec_col, cents)
         assigned = base.selectExpr(
             id_col, vec_col,
