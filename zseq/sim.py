@@ -286,34 +286,40 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
     return out
 
 
-def _ivf_probe_udf(df: DataFrame,
-                   cents: list[tuple[int, list[int]]], n: int):
-    """Vectorized (Arrow-batched) cell prober for quantizers too large
+def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
+                    ns: list[int]):
+    """Vectorized (Arrow-batched) cell probers for quantizers too large
     to inline: the (K, dim) int64 centroid matrix is an explicit Spark
-    BROADCAST, and each batch scores all K cells with one numpy matmul
+    BROADCAST (made ONCE and shared by every returned prober — at the
+    16M-term cap a duplicate would double 128 MB of executor state), and
+    each batch scores all K cells with one numpy matmul
     (batch x dim) @ (dim x K), then takes the top-``n`` cids per row —
     stable argsort on -score, so ties go to the smaller cid, exactly the
     inline path's struct-max/reverse-sort semantics. No per-row Python,
-    no expression blow-up: Catalyst sees a single opaque projection."""
+    no expression blow-up: Catalyst sees one opaque projection. Returns
+    one pandas UDF per entry of ``ns``."""
     from pyspark.sql.functions import pandas_udf
 
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     mat = np.array([q for _, q in cents], dtype=np.int64)
     bc = df.sparkSession.sparkContext.broadcast((cids, mat))
 
-    @pandas_udf("array<bigint>")
-    def probe(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        cids_, mat_ = bc.value
-        q = np.floor(
-            np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-            * QUANT).astype(np.int64)
-        scores = q @ mat_.T                       # (batch, K) exact int64
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(cids_[order]))
+    def make(n: int):
+        @pandas_udf("array<bigint>")
+        def probe(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            cids_, mat_ = bc.value
+            q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+                * QUANT).astype(np.int64)
+            scores = q @ mat_.T                   # (batch, K) exact int64
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(cids_[order]))
 
-    return probe
+        return probe
+
+    return [make(n) for n in ns]
 
 
 def _ivf_cell_structs(vec_col: str,
@@ -352,7 +358,7 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
     inlined into a codegen'd expression (O(K) array_max argmax); beyond
     that — production dims 768-1536 would otherwise blow Catalyst up on
     a multi-MB expression — the matrix rides an explicit broadcast and
-    assignment is an Arrow-batched numpy matmul+argmax (_ivf_probe_udf).
+    assignment is an Arrow-batched numpy matmul+argmax (_ivf_probe_udfs).
     Only the n_queries QUERY rows pay the top-nprobe sort. The probe
     join broadcasts (n_queries x nprobe) rows; one shuffle for the
     per-query rank window. Probing all cells (nprobe >= centroid count)
@@ -382,8 +388,7 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
                 f"1, {nprobe}), p -> -p.negc)) as cid")
         )
     else:
-        assign1 = _ivf_probe_udf(df, cents, 1)
-        proben = _ivf_probe_udf(df, cents, nprobe)
+        assign1, proben = _ivf_probe_udfs(df, cents, [1, nprobe])
         assigned = base.withColumn(
             "cid", F.element_at(assign1(F.col(vec_col)), 1))
         q = (
