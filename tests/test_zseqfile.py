@@ -146,6 +146,8 @@ def _mixed_table(rows):
 
     import numpy as np
 
+    # exact 38-digit arithmetic (the default 28-digit context rounds)
+    decimal.getcontext().prec = 60
     n = len(rows)
     ut = pa.union([pa.field("i", pa.int64()), pa.field("s", pa.string())],
                   mode="dense", type_codes=[0, 1])
@@ -173,6 +175,10 @@ def _mixed_table(rows):
                        pa.map_(pa.string(), pa.int64())),
         "dec": pa.array([decimal.Decimal(r["i64"] % 10**16) / 100
                          for r in rows], pa.decimal128(18, 2)),
+        # two-limb path: spread i64 across the full 38-digit range
+        "dec38": pa.array([decimal.Decimal(r["i64"]) * (10**19)
+                           + decimal.Decimal(r["ev"])
+                           for r in rows], pa.decimal128(38, 0)),
         "e": enum,
     })
 
