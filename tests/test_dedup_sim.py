@@ -335,6 +335,24 @@ def test_ivf_matrix_path_dim768_k1024_probe_all(spark):
         sorted(map(tuple, bf.collect()))
 
 
+def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
+    """A NULL embedding row must not fail the job on either path: it
+    joins no cell and drops out of the results; clean rows rank as
+    usual. (The matrix prober would otherwise np.stack-crash the whole
+    task on one bad row.)"""
+    import pyspark.sql.functions as F
+
+    dirty = vecs.unionByName(spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<float>"))
+    inline = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
+                          nprobe=3).collect()
+    monkeypatch.setattr(sim, "IVF_MAX_INLINE_TERMS", 0)
+    matrix = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
+                          nprobe=3).collect()
+    assert sorted(map(tuple, matrix)) == sorted(map(tuple, inline))
+    assert 999 not in {r.neighbor_id for r in matrix}
+
+
 def test_ivf_matrix_terms_cap_raises(spark, vecs):
     """K*dim beyond the broadcast-state cap must refuse with the
     actionable raise, not silently build a giant quantizer."""

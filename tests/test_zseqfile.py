@@ -146,8 +146,12 @@ def _mixed_table(rows):
 
     import numpy as np
 
-    # exact 38-digit arithmetic (the default 28-digit context rounds)
-    decimal.getcontext().prec = 60
+    # exact 38-digit arithmetic (the default 28-digit context rounds);
+    # precompute under a LOCAL context so nothing leaks process-wide
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        dec38 = [decimal.Decimal(r["i64"]) * (10 ** 19)
+                 + decimal.Decimal(r["ev"]) for r in rows]
     n = len(rows)
     ut = pa.union([pa.field("i", pa.int64()), pa.field("s", pa.string())],
                   mode="dense", type_codes=[0, 1])
@@ -176,9 +180,7 @@ def _mixed_table(rows):
         "dec": pa.array([decimal.Decimal(r["i64"] % 10**16) / 100
                          for r in rows], pa.decimal128(18, 2)),
         # two-limb path: spread i64 across the full 38-digit range
-        "dec38": pa.array([decimal.Decimal(r["i64"]) * (10**19)
-                           + decimal.Decimal(r["ev"])
-                           for r in rows], pa.decimal128(38, 0)),
+        "dec38": pa.array(dec38, pa.decimal128(38, 0)),
         "e": enum,
     })
 

@@ -513,9 +513,7 @@ def q_codec_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zseq import column as C
 
         for b in batches:
-            arr = b.column(2)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
+            arr = b.column(2)  # RecordBatch.column is always a pa.Array
             blob = C.encode_column(arr, {}, "d")
             dec, _ = C.decode_column(memoryview(blob), 0, arr.type,
                                      len(arr))

@@ -310,12 +310,30 @@ def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
             if len(vs) == 0:
                 return pd.Series([], dtype=object)
             cids_, mat_ = bc.value
-            q = np.floor(
-                np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-                * QUANT).astype(np.int64)
-            scores = q @ mat_.T                   # (batch, K) exact int64
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(cids_[order]))
+            # Null / ragged / non-finite vectors get a NULL probe list —
+            # they then join no cell, exactly the inline path's
+            # degradation (its null scores make explode/join drop the
+            # row). A raw np.stack would instead fail the whole task on
+            # one bad row (or worse: floor(nan) silently INT64_MINs).
+            out: list = [None] * len(vs)
+            idxs, vecs = [], []
+            for i, v in enumerate(vs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.ndim != 1 or a.shape[0] != mat_.shape[1] \
+                        or not np.isfinite(a).all():
+                    continue
+                idxs.append(i)
+                vecs.append(a)
+            if vecs:
+                q = np.floor(np.stack(vecs) * QUANT).astype(np.int64)
+                scores = q @ mat_.T               # (batch, K) exact int64
+                order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+                tops = cids_[order]
+                for j, i in enumerate(idxs):
+                    out[i] = tops[j]
+            return pd.Series(out)
 
         return probe
 
