@@ -342,13 +342,17 @@ def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
     task on one bad row.)"""
     import pyspark.sql.functions as F
 
+    nanvec = [float("nan")] * 8 + [0.5] * 8
     dirty = vecs.unionByName(spark.createDataFrame(
-        [(999, None)], "vec_id long, embedding array<float>"))
+        [(999, None), (998, nanvec)],
+        "vec_id long, embedding array<float>"))
     inline = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
     monkeypatch.setattr(sim, "IVF_MAX_INLINE_TERMS", 0)
     matrix = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
+    # NaN elements quantize to 0 on BOTH paths (measured ANSI cast
+    # semantics), null vectors drop on both — row-identical results
     assert sorted(map(tuple, matrix)) == sorted(map(tuple, inline))
     assert 999 not in {r.neighbor_id for r in matrix}
 

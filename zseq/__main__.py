@@ -106,8 +106,12 @@ def cmd_info(args) -> int:
         "format": m["format"], "mode": m.get("mode"),
         "partitions": m["partitions"], "schema": m["schema_names"],
         "totals": m["totals"],
-        "ratio": round(m["totals"].get("raw_bytes", 0)
-                       / max(1, m["totals"].get("enc_bytes", 0)), 3),
+        # ratio is None (not a silently-wrong number) when a foreign
+        # revision's totals lack the byte counters
+        "ratio": (round(m["totals"]["raw_bytes"]
+                        / max(1, m["totals"]["enc_bytes"]), 3)
+                  if m["totals"].get("raw_bytes")
+                  and m["totals"].get("enc_bytes") else None),
         "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
         "col_bytes": dict(sorted(col_bytes.items(),
                                  key=lambda kv: -kv[1])),

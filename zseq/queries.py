@@ -819,6 +819,31 @@ def _fingerprint_winnow_oracle() -> str:
 CONTAM_EVAL_MOD = 53
 
 
+def _contam_sources_spark(spark, sf_dir):
+    """(train, eval) DataFrames of the planted-overlap contamination
+    scenario — the ONE place the derivation lives (query + oracle for
+    both contamination operators reuse it)."""
+    train = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", "coalesce(text, '') as text")
+    ev = train.filter(f"doc_id % {CONTAM_EVAL_MOD} = 0").selectExpr(
+        "doc_id",
+        "substring(text, 1, 60) || ' zqx' || cast(doc_id as string) "
+        "as text")
+    return train, ev
+
+
+def _contam_sources_duck() -> tuple[str, str]:
+    """DuckDB mirror of _contam_sources_spark as (train_from, eval_from)
+    SELECTs."""
+    train_from = ("SELECT doc_id, coalesce(text, '') as text "
+                  "FROM documents")
+    eval_from = (
+        "SELECT doc_id, substr(coalesce(text, ''), 1, 60) || ' zqx' || "
+        "cast(doc_id as varchar) as text FROM documents "
+        f"WHERE doc_id % {CONTAM_EVAL_MOD} = 0")
+    return train_from, eval_from
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-eval decontamination join on winnowing fingerprints:
     train = the documents table; eval = planted-overlap docs derived
@@ -827,24 +852,14 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contaminated verdict."""
     from . import textops
 
-    train = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .selectExpr("doc_id", "coalesce(text, '') as text")
-    ev = train.filter(f"doc_id % {CONTAM_EVAL_MOD} = 0").selectExpr(
-        "doc_id",
-        "substring(text, 1, 60) || ' zqx' || cast(doc_id as string) "
-        "as text")
+    train, ev = _contam_sources_spark(spark, sf_dir)
     return textops.contamination(train, ev)
 
 
 def _contamination_report_oracle() -> str:
     from . import textops
 
-    train_from = ("SELECT doc_id, coalesce(text, '') as text "
-                  "FROM documents")
-    eval_from = (
-        "SELECT doc_id, substr(coalesce(text, ''), 1, 60) || ' zqx' || "
-        "cast(doc_id as varchar) as text FROM documents "
-        f"WHERE doc_id % {CONTAM_EVAL_MOD} = 0")
+    train_from, eval_from = _contam_sources_duck()
     return textops.contamination_oracle_sql(train_from, eval_from)
 
 
@@ -856,12 +871,7 @@ def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import textops
 
-    train = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .selectExpr("doc_id", "coalesce(text, '') as text")
-    ev = train.filter(f"doc_id % {CONTAM_EVAL_MOD} = 0").selectExpr(
-        "doc_id",
-        "substring(text, 1, 60) || ' zqx' || cast(doc_id as string) "
-        "as text")
+    train, ev = _contam_sources_spark(spark, sf_dir)
     # k=12/w=8 (shared-substring guarantee >= 19 chars): corpus-wide
     # common English 8-char runs make the default k=5 drop EVERY doc on
     # this synthetic table — correct but degenerate; the longer gram
@@ -876,11 +886,10 @@ def _decontaminate_train_oracle() -> str:
     parts = textops.winnow_parts("text", k=12, w=8)
     _, grams_d = parts["grams"]
     _, sel_d = parts["select"]
+    train_from, eval_from = _contam_sources_duck()
     return f"""
-WITH tsrc AS (SELECT doc_id, coalesce(text, '') as text FROM documents),
-     esrc AS (SELECT doc_id, substr(coalesce(text, ''), 1, 60) || ' zqx'
-                     || cast(doc_id as varchar) as text
-              FROM documents WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+WITH tsrc AS ({train_from}),
+     esrc AS ({eval_from}),
      eg AS (SELECT doc_id, {grams_d} as g FROM esrc),
      esel AS (SELECT doc_id, {sel_d} as fps FROM eg),
      ef AS (SELECT DISTINCT unnest(fps) as fp FROM esel),

@@ -310,27 +310,45 @@ def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
             if len(vs) == 0:
                 return pd.Series([], dtype=object)
             cids_, mat_ = bc.value
-            # Null / ragged / non-finite vectors get a NULL probe list —
-            # they then join no cell, exactly the inline path's
-            # degradation (its null scores make explode/join drop the
-            # row). A raw np.stack would instead fail the whole task on
-            # one bad row (or worse: floor(nan) silently INT64_MINs).
+            # NULL / ragged vectors get a NULL probe list — they then
+            # join no cell, exactly the inline path's degradation (its
+            # null scores make explode/join drop the row). A raw
+            # np.stack would instead fail the whole task on one bad row.
             out: list = [None] * len(vs)
             idxs, vecs = [], []
             for i, v in enumerate(vs):
                 if v is None:
                     continue
                 a = np.asarray(v, dtype=np.float64)
-                if a.ndim != 1 or a.shape[0] != mat_.shape[1] \
-                        or not np.isfinite(a).all():
+                if a.ndim != 1 or a.shape[0] != mat_.shape[1]:
                     continue
                 idxs.append(i)
                 vecs.append(a)
             if vecs:
-                q = np.floor(np.stack(vecs) * QUANT).astype(np.int64)
+                # Element quantization mirrors the inline SQL cast
+                # (measured on this Spark, ANSI on): NaN -> 0,
+                # +/-Inf -> int64 max/min. Finite values past int64
+                # SATURATE here where ANSI would raise — strictly more
+                # graceful, same answer everywhere the inline path can
+                # answer at all (float32 embeddings stay far inside).
+                scaled = np.floor(np.stack(vecs) * QUANT)
+                q = np.zeros(scaled.shape, dtype=np.int64)
+                finite = np.isfinite(scaled)
+                q[finite] = np.clip(
+                    scaled[finite], -9.223372036854775e18,
+                    9.223372036854774e18).astype(np.int64)
+                q[scaled == np.inf] = np.iinfo(np.int64).max
+                q[scaled == -np.inf] = np.iinfo(np.int64).min
                 scores = q @ mat_.T               # (batch, K) exact int64
-                order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
-                tops = cids_[order]
+                if n == 1:
+                    # O(K) first-max == smallest cid on ties (cid-sorted
+                    # matrix) — this is the per-corpus-row hot path; the
+                    # O(K log K) argsort is only paid by query rows.
+                    tops = cids_[scores.argmax(axis=1)][:, None]
+                else:
+                    order = np.argsort(-scores, axis=1,
+                                       kind="stable")[:, :n]
+                    tops = cids_[order]
                 for j, i in enumerate(idxs):
                     out[i] = tops[j]
             return pd.Series(out)
