@@ -395,3 +395,15 @@ def test_enum_decode_refuses_out_of_int8_tag():
             + var + var_s)
     with pytest.raises(ValueError, match="int8"):
         C.decode_column(memoryview(blob), 0, _enum_type(), 2)
+
+
+def test_decimal38_hi_limb_is_near_free_for_small_values():
+    """The two-limb claim: when every value fits int64 the high limb is
+    pure sign extension, so widening a column's declared type from
+    decimal(18) to decimal(38) costs only a few constant-run bytes."""
+    from decimal import Decimal
+
+    vals = [Decimal(i * 97 - 5000) / 100 for i in range(5000)]
+    narrow = C.encode_column(pa.array(vals, type=pa.decimal128(18, 2)))
+    wide = C.encode_column(pa.array(vals, type=pa.decimal128(38, 2)))
+    assert len(wide) - len(narrow) < 64, (len(narrow), len(wide))
