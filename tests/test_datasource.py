@@ -117,6 +117,23 @@ def test_decimal_filter_pushdown_matches(registered, tmp_path_factory):
     r2.pushFilters([GreaterThan(("price",), decimal.Decimal("7.505"))])
     assert r2._predicate == []                     # not exact at scale 2
 
+    # two-limb decimal(38): literal past int64 pushes as a python int
+    out38 = str(tmp_path_factory.mktemp("dsd38") / "wide")
+    src38 = registered.range(0, 500).selectExpr(
+        "id", "cast(cast(id as decimal(38,0)) * 10000000000000000000 "
+        "as decimal(38,0)) as w")
+    src38.write.format("zseq").mode("overwrite") \
+        .option("batch_rows", "50").save(out38)
+    lit = decimal.Decimal(400) * 10 ** 19
+    got38 = registered.read.format("zseq").load(out38) \
+        .filter(f"w >= {lit}")
+    want38 = src38.filter(f"w >= {lit}")
+    assert _rows(got38) == _rows(want38)
+    assert got38.count() == 100
+    r3 = ZseqSourceReader({"path": out38})
+    r3.pushFilters([GreaterThan(("w",), lit)])
+    assert r3._predicate == [("w", ">", 400 * 10 ** 19)]
+
 
 def test_columns_option_prunes_schema(registered, ds_dir):
     df = registered.read.format("zseq").option("columns", "doc_id,n_tok") \

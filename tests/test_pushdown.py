@@ -208,6 +208,13 @@ _ints = st.one_of(st.none(), st.sampled_from(_INT_POOL),
 _DEC_POOL = [-(10 ** 13), -101, -100, -1, 0, 1, 99, 100, 10 ** 13]
 _decs = st.one_of(st.none(), st.sampled_from(_DEC_POOL),
                   st.integers(-10 ** 6, 10 ** 6))
+# decimal(38,0) two-limb: cluster around the int64 limb boundary and the
+# 38-digit extremes
+_DEC38_POOL = [-(10 ** 38) + 1, -(2 ** 64), -(2 ** 63) - 1, -(2 ** 63),
+               -(2 ** 63) + 1, -1, 0, 1, 2 ** 63 - 1, 2 ** 63,
+               2 ** 63 + 1, 2 ** 64, 10 ** 38 - 1]
+_dec38s = st.one_of(st.none(), st.sampled_from(_DEC38_POOL),
+                    st.integers(-10 ** 20, 10 ** 20))
 _strs = st.one_of(st.none(), st.sampled_from(_STR_POOL),
                   st.text(max_size=24))
 _bins = st.one_of(st.none(), st.sampled_from(_BIN_POOL),
@@ -226,6 +233,7 @@ def _conjunct():
     pools = {"i": st.sampled_from(_INT_POOL),
              "ts": st.sampled_from(_INT_POOL),
              "d": st.sampled_from(_DEC_POOL),
+             "D": st.sampled_from(_DEC38_POOL),
              "s": st.sampled_from(_STR_POOL),
              "b": st.sampled_from(_BIN_POOL)}
     return st.tuples(st.sampled_from(list(pools)),
@@ -262,16 +270,20 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
     strs = data.draw(st.lists(_strs, min_size=n, max_size=n))
     bins = data.draw(st.lists(_bins, min_size=n, max_size=n))
     decs = data.draw(st.lists(_decs, min_size=n, max_size=n))
+    dec38s = data.draw(st.lists(_dec38s, min_size=n, max_size=n))
     import decimal
     with decimal.localcontext() as ctx:
         ctx.prec = 40
         dec_vals = [None if v is None else decimal.Decimal(v).scaleb(-2)
                     for v in decs]
+        dec38_vals = [None if v is None else decimal.Decimal(v)
+                      for v in dec38s]
     tbl = pa.table({
         "rid": pa.array(np.arange(n, dtype=np.int64)),
         "i": pa.array(ints, type=pa.int64()),
         "ts": pa.array(tss, type=pa.timestamp("us")),
         "d": pa.array(dec_vals, type=pa.decimal128(14, 2)),
+        "D": pa.array(dec38_vals, type=pa.decimal128(38, 0)),
         "s": pa.array(strs, type=pa.string()),
         "b": pa.array(bins, type=pa.binary()),
     })
@@ -280,7 +292,8 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
     full = zseqfile.decode_table(buf)
     pruned = zseqfile.decode_table(buf, predicate=list(preds))
 
-    cols = {"i": ints, "ts": tss, "d": decs, "s": strs, "b": bins}
+    cols = {"i": ints, "ts": tss, "d": decs, "D": dec38s,
+            "s": strs, "b": bins}
     want = {rid for rid in range(n)
             if all(_match(cols[c][rid], op, lit) for c, op, lit in preds)}
     got_rids = set(pruned.column("rid").to_pylist())
@@ -306,7 +319,8 @@ def test_pushdown_prune_never_drops_rows(n, data, block, preds):
 def test_decimal_predicate_skips_with_sorted_data():
     """decimal(<=18) chunks derive int zone maps in the UNSCALED domain:
     a sorted price column prunes exactly like an int column; two-limb
-    decimal38 chunks never prune (conservative, no wrong skips)."""
+    decimal38 chunks store explicit 16-byte offset-binary bounds and
+    prune on arbitrary-precision int literals."""
     from decimal import Decimal
 
     prices = pa.table({
@@ -325,16 +339,30 @@ def test_decimal_predicate_skips_with_sorted_data():
     assert r.blocks_read == 1
     assert set(out.column("k").to_pylist()) == set(range(9000, 10000))
 
+    # two-limb: sorted 38-digit values far past int64, literal past
+    # int64 — explicit bounds prune exactly
     wide = pa.table({
         "k": pa.array(np.arange(100, dtype=np.int64)),
-        "p38": pa.array([Decimal(i) for i in range(100)],
+        "p38": pa.array([Decimal(i) * 10 ** 20 - 10 ** 21
+                         for i in range(100)],
                         type=pa.decimal128(38, 0)),
     })
     buf38 = zseqfile.encode_table(wide.to_batches(max_chunksize=10),
                                   schema=wide.schema)
     r38 = ZseqReader(buf38)
     out38 = pa.Table.from_batches(
-        list(r38.batches(predicate=[("p38", ">", 10 ** 20)])),
+        list(r38.batches(predicate=[("p38", ">=", 80 * 10 ** 20
+                                     - 10 ** 21)])),
         schema=r38.schema)
-    assert r38.blocks_skipped == 0          # no zone maps -> no pruning
-    assert out38.num_rows == 100            # superset semantics intact
+    assert r38.blocks_skipped == 8, r38.blocks_skipped
+    assert r38.blocks_read == 2
+    assert set(out38.column("k").to_pylist()) == set(range(80, 100))
+    # nulls stay conservative: all-null chunk has no bounds, never prunes
+    nulls = pa.table({"p38": pa.array([None] * 20,
+                                      type=pa.decimal128(38, 0))})
+    bn = zseqfile.encode_table(nulls.to_batches(max_chunksize=10),
+                               schema=nulls.schema)
+    rn = ZseqReader(bn)
+    outn = pa.Table.from_batches(
+        list(rn.batches(predicate=[("p38", ">", 0)])), schema=rn.schema)
+    assert outn.num_rows == 20              # superset semantics intact

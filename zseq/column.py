@@ -337,6 +337,25 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             # need the range. The layout is keyed on the header's
             # precision byte (old files can only contain <= 18, which the
             # writer refused to widen), so no extra format flag is spent.
+            # Zone maps: segment headers can't bound a value split across
+            # two limbs, so top-level chunks store explicit 16-byte
+            # offset-binary (v + 2^127, big-endian) min/max bounds in the
+            # flags-bit1 zone section — bytewise order == numeric order;
+            # chunk_stats decodes them back to exact python ints.
+            zseg = b""
+            vlo = lo64[valid] if valid is not None else lo64
+            vhi = hi64[valid] if valid is not None else hi64
+            if zone and vlo.size:
+                # int128 order == lexicographic (hi signed, lo unsigned)
+                order = np.lexsort((vlo.view(np.uint64), vhi))
+                lo_u = vlo.view(np.uint64)
+
+                def v128(i):
+                    return (int(vhi[i]) << 64) + int(lo_u[i])
+
+                zmin, zmax = v128(order[0]), v128(order[-1])
+                zseg = (bytes([16]) + (zmin + 2 ** 127).to_bytes(16, "big")
+                        + bytes([16]) + (zmax + 2 ** 127).to_bytes(16, "big"))
             if valid is not None:
                 lo64 = np.where(valid, lo64, 0)
                 hi64 = np.where(valid, hi64, 0)
@@ -345,8 +364,10 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             note(lseg[0], IC.INT_CODEC_NAMES)
             if stats is not None:
                 stats[path + ".hi"] = IC.INT_CODEC_NAMES[hseg[0]]
-            return head(K_DECIMAL) + struct.pack(
-                "<Bb", t.precision, t.scale) + lseg + hseg
+            flags = (1 if valid is not None else 0) | (2 if zseg else 0)
+            return (_HEAD.pack(K_DECIMAL, flags) + vseg + zseg
+                    + struct.pack("<Bb", t.precision, t.scale)
+                    + lseg + hseg)
         # Null slots may carry arbitrary buffer bytes (legal in Arrow —
         # compute kernels / IPC produce non-canonical garbage there), so
         # the 64-bit range check only applies to valid slots.
@@ -491,12 +512,20 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple | None]:
         zm = IC.segment_zone(mv, pos, n)
     elif kind == K_DECIMAL:
         precision, _scale = struct.unpack_from("<Bb", mv, pos)
-        # Single-limb decimals: the unscaled int64 segment's derived
-        # bounds ARE the value bounds (predicate literals cross in the
-        # unscaled storage domain). Two-limb (>18) bounds would need
-        # limb recombination — not derived, so those chunks never prune
-        # (conservative).
-        zm = IC.segment_zone(mv, pos + 2, n) if precision <= 18 else None
+        if precision <= 18:
+            # Single-limb: the unscaled int64 segment's derived bounds
+            # ARE the value bounds (predicate literals cross in the
+            # unscaled storage domain).
+            zm = IC.segment_zone(mv, pos + 2, n)
+        elif zm is not None and len(zm[0]) == 16 and len(zm[1]) == 16:
+            # Two-limb: explicit 16-byte offset-binary bounds from the
+            # zone section, decoded back to exact (arbitrary-precision)
+            # python ints — the zone comparisons are pure Python, so the
+            # int domain works past int64 unchanged.
+            zm = (int.from_bytes(zm[0], "big") - 2 ** 127,
+                  int.from_bytes(zm[1], "big") - 2 ** 127)
+        else:
+            zm = None  # older two-limb chunk without bounds: no pruning
     elif kind != K_BINARY:
         zm = None
     return kind, zm

@@ -251,7 +251,7 @@ class ZseqSourceReader(DataSourceReader):
             if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
             or pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
             or pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
-            or (pa.types.is_decimal128(f.type) and f.type.precision <= 18)
+            or pa.types.is_decimal128(f.type)
         }
         self._predicate: list[tuple] = []
 
@@ -269,10 +269,10 @@ class ZseqSourceReader(DataSourceReader):
         if t is None or isinstance(value, bool):
             return None
         if pa.types.is_decimal(t):
-            # decimal(<=18) zone maps live in the UNSCALED int domain;
-            # push only literals exactly representable at the column's
-            # scale (a 28-digit default Decimal context would round, so
-            # widen it).
+            # decimal zone maps (single- AND two-limb) live in the
+            # UNSCALED int domain; push only literals exactly
+            # representable at the column's scale (a 28-digit default
+            # Decimal context would round, so widen it).
             import decimal as _dec
 
             if not isinstance(value, _dec.Decimal):
