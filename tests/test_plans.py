@@ -49,3 +49,26 @@ def test_lsh_topk_broadcasts_probes(spark):
     plan = _plan(sim.lsh_topk(vecs, dim=8, n_queries=3, topk=2,
                               bits=3, probes=1))
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_shuffles_only_fingerprints(spark):
+    """PLANS.md row: exactly two hash exchanges (train distinct-fp and
+    per-eval-doc agg), both over fingerprint/id-sized rows — document
+    TEXT never reaches an exchange."""
+    from zseq import textops
+
+    train = spark.createDataFrame(
+        [(i, f"some training document number {i} with shared words")
+         for i in range(30)], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "benchmark about training document number 3 indeed")],
+        "doc_id long, text string")
+    plan = _plan(textops.contamination(train, ev))
+    # AQE may broadcast the train fp set (2 exchanges) or shuffle both
+    # join sides (3); either way every exchange key must be fp/doc_id
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert 2 <= len(exchanges) <= 3, plan
+    assert {e.split("#")[0] for e in exchanges} <= {"fp", "doc_id"}, plan
+    # the text column must not appear in any exchange's output row
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0)
