@@ -343,8 +343,9 @@ def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
     import pyspark.sql.functions as F
 
     nanvec = [float("nan")] * 8 + [0.5] * 8
+    nullelem = [None] * 4 + [0.25] * 12   # NULL ELEMENT -> null vector
     dirty = vecs.unionByName(spark.createDataFrame(
-        [(999, None), (998, nanvec)],
+        [(999, None), (998, nanvec), (997, nullelem)],
         "vec_id long, embedding array<float>"))
     inline = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
@@ -352,9 +353,10 @@ def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
     matrix = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
     # NaN elements quantize to 0 on BOTH paths (measured ANSI cast
-    # semantics), null vectors drop on both — row-identical results
+    # semantics); null vectors AND vectors with null ELEMENTS are
+    # normalized to null and drop on both — row-identical results
     assert sorted(map(tuple, matrix)) == sorted(map(tuple, inline))
-    assert 999 not in {r.neighbor_id for r in matrix}
+    assert {999, 997}.isdisjoint({r.neighbor_id for r in matrix})
 
 
 def test_ivf_matrix_terms_cap_raises(spark, vecs):

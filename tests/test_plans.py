@@ -63,12 +63,22 @@ def test_contamination_shuffles_only_fingerprints(spark):
     ev = spark.createDataFrame(
         [(100, "benchmark about training document number 3 indeed")],
         "doc_id long, text string")
-    plan = _plan(textops.contamination(train, ev))
+    df = textops.contamination(train, ev)
+    plan = _plan(df)
     # AQE may broadcast the train fp set (2 exchanges) or shuffle both
     # join sides (3); either way every exchange key must be fp/doc_id
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert 2 <= len(exchanges) <= 3, plan
     assert {e.split("#")[0] for e in exchanges} <= {"fp", "doc_id"}, plan
-    # the text column must not appear in any exchange's output row
-    for m in re.finditer(r"Exchange [^\n]*", plan):
-        assert "text#" not in m.group(0)
+    # ...and no exchange PAYLOAD may carry the text column. The
+    # toString() form prints only partitioning keys, so use formatted
+    # explain, whose per-node "Input [n]" line is the actual row.
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    fmt = df._jdf.queryExecution().explainString(mode)
+    exch_secs = [sec for sec in re.split(r"\n\(\d+\) ", fmt)
+                 if sec.startswith(("Exchange", "BroadcastExchange"))]
+    assert exch_secs, fmt
+    for sec in exch_secs:
+        inp = next(l for l in sec.splitlines() if l.startswith("Input"))
+        assert "text#" not in inp, sec

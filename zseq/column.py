@@ -143,9 +143,9 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         bits = np.packbits(valid, bitorder="little").tobytes()
         vseg = struct.pack("<I", len(bits)) + bits
 
-    def head(kind: int) -> bytes:
-        flags = 1 if valid is not None else 0
-        return _HEAD.pack(kind, flags) + vseg
+    def head(kind: int, zseg: bytes = b"") -> bytes:
+        flags = (1 if valid is not None else 0) | (2 if zseg else 0)
+        return _HEAD.pack(kind, flags) + vseg + zseg
 
     def note(codec_tag: int, names) -> None:
         if stats is not None:
@@ -234,9 +234,7 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         seg = BC.encode_binary(lengths, data)
         note(seg[0], BC.BIN_CODEC_NAMES)
         zseg = _bin_bounds(arr) if (zone and n) else b""
-        flags = (1 if valid is not None else 0) | (2 if zseg else 0)
-        return (_HEAD.pack(K_BINARY, flags) + vseg + zseg
-                + struct.pack("<B", utf8) + seg)
+        return head(K_BINARY, zseg) + struct.pack("<B", utf8) + seg
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
@@ -346,14 +344,15 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             vlo = lo64[valid] if valid is not None else lo64
             vhi = hi64[valid] if valid is not None else hi64
             if zone and vlo.size:
-                # int128 order == lexicographic (hi signed, lo unsigned)
-                order = np.lexsort((vlo.view(np.uint64), vhi))
+                # int128 order == lexicographic (hi signed, lo unsigned):
+                # two linear passes — extreme hi limb, then the extreme
+                # unsigned lo among those rows
                 lo_u = vlo.view(np.uint64)
-
-                def v128(i):
-                    return (int(vhi[i]) << 64) + int(lo_u[i])
-
-                zmin, zmax = v128(order[0]), v128(order[-1])
+                hmin, hmax = int(vhi.min()), int(vhi.max())
+                zmin = ((hmin << 64)
+                        + int(lo_u[vhi == hmin].min()))
+                zmax = ((hmax << 64)
+                        + int(lo_u[vhi == hmax].max()))
                 zseg = (bytes([16]) + (zmin + 2 ** 127).to_bytes(16, "big")
                         + bytes([16]) + (zmax + 2 ** 127).to_bytes(16, "big"))
             if valid is not None:
@@ -364,8 +363,7 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             note(lseg[0], IC.INT_CODEC_NAMES)
             if stats is not None:
                 stats[path + ".hi"] = IC.INT_CODEC_NAMES[hseg[0]]
-            flags = (1 if valid is not None else 0) | (2 if zseg else 0)
-            return (_HEAD.pack(K_DECIMAL, flags) + vseg + zseg
+            return (head(K_DECIMAL, zseg)
                     + struct.pack("<Bb", t.precision, t.scale)
                     + lseg + hseg)
         # Null slots may carry arbitrary buffer bytes (legal in Arrow —

@@ -408,20 +408,34 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
         # K = N / c_mod ~ sqrt(N)  =>  c_mod ~ sqrt(N)
         c_mod = max(1, int(math.sqrt(max(n, 1))))
     cents = _ivf_centroids(df, c_mod, id_col, vec_col, dim)
-    base = df.selectExpr(f"cast({id_col} as bigint) as {id_col}", vec_col)
+    # A vector with a NULL ELEMENT is normalized to a NULL VECTOR before
+    # either path sees it: the inline SQL and the Arrow UDF would
+    # otherwise diverge (zip_with propagates element nulls into null
+    # scores with engine-specific tie behavior, while Arrow->pandas
+    # folds element nulls into NaN). Whole-null vectors join no cell and
+    # drop out — one documented semantic, identical on both paths.
+    base = df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}",
+        f"case when exists({vec_col}, x -> x is null) then null "
+        f"else {vec_col} end as {vec_col}")
     inline_cap = (IVF_MAX_INLINE_TERMS if max_inline_terms is None
                   else max_inline_terms)
     if len(cents) * dim <= inline_cap:
         cells = _ivf_cell_structs(vec_col, cents)
+        # null vectors get a NULL cid / NULL probe list (they'd
+        # otherwise be "assigned" by the all-null-score tie-break) —
+        # mirrored by the matrix prober's None handling
         assigned = base.selectExpr(
             id_col, vec_col,
-            f"-array_max({cells}).negc as cid")
+            f"case when {vec_col} is null then null "
+            f"else -array_max({cells}).negc end as cid")
         q = (
             base.filter(f"{id_col} < {n_queries}")
             .selectExpr(
                 f"{id_col} as query_id", f"{vec_col} as qv",
-                f"explode(transform(slice(reverse(array_sort({cells})), "
-                f"1, {nprobe}), p -> -p.negc)) as cid")
+                f"explode(case when {vec_col} is null then null else "
+                f"transform(slice(reverse(array_sort({cells})), "
+                f"1, {nprobe}), p -> -p.negc) end) as cid")
         )
     else:
         assign1, proben = _ivf_probe_udfs(df, cents, [1, nprobe])
