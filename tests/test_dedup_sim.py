@@ -344,8 +344,12 @@ def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
 
     nanvec = [float("nan")] * 8 + [0.5] * 8
     nullelem = [None] * 4 + [0.25] * 12   # NULL ELEMENT -> null vector
+    ragged = [0.5] * 15                   # WRONG LENGTH -> null vector
     dirty = vecs.unionByName(spark.createDataFrame(
-        [(999, None), (998, nanvec), (997, nullelem)],
+        # 990 is a CENTROID CANDIDATE (990 % 10 == 0): dirty rows must
+        # be excluded from quantizer candidacy, not crash the collect
+        [(999, None), (998, nanvec), (997, nullelem), (996, ragged),
+         (990, None)],
         "vec_id long, embedding array<float>"))
     inline = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
@@ -353,10 +357,11 @@ def test_ivf_null_embedding_degrades_gracefully(spark, vecs, monkeypatch):
     matrix = sim.ivf_topk(dirty, 16, n_queries=3, topk=5, c_mod=10,
                           nprobe=3).collect()
     # NaN elements quantize to 0 on BOTH paths (measured ANSI cast
-    # semantics); null vectors AND vectors with null ELEMENTS are
-    # normalized to null and drop on both — row-identical results
+    # semantics); null vectors, null-ELEMENT vectors and wrong-length
+    # vectors are normalized to null and drop on both — row-identical
     assert sorted(map(tuple, matrix)) == sorted(map(tuple, inline))
-    assert {999, 997}.isdisjoint({r.neighbor_id for r in matrix})
+    assert {999, 997, 996, 990}.isdisjoint(
+        {r.neighbor_id for r in matrix})
 
 
 def test_ivf_matrix_terms_cap_raises(spark, vecs):

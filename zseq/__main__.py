@@ -97,6 +97,13 @@ def cmd_info(args) -> int:
                                  for kk in e.get("totals", {})})
             },
             "epochs": len(manifests),
+            # a ratio over PARTIAL sums (one epoch missing its byte
+            # counters) would silently under/overstate compression —
+            # only report it when every epoch carried both counters
+            "_bytes_complete": all(
+                e.get("totals", {}).get("raw_bytes")
+                and e.get("totals", {}).get("enc_bytes")
+                for e in manifests),
         }
     col_bytes: dict[str, int] = {}
     for p in m.get("parts", []):
@@ -106,11 +113,12 @@ def cmd_info(args) -> int:
         "format": m["format"], "mode": m.get("mode"),
         "partitions": m["partitions"], "schema": m["schema_names"],
         "totals": m["totals"],
-        # ratio is None (not a silently-wrong number) when a foreign
-        # revision's totals lack the byte counters
+        # ratio is None (not a silently-wrong number) when byte counters
+        # are missing from any contributing manifest
         "ratio": (round(m["totals"]["raw_bytes"]
                         / max(1, m["totals"]["enc_bytes"]), 3)
-                  if m["totals"].get("raw_bytes")
+                  if m.get("_bytes_complete", True)
+                  and m["totals"].get("raw_bytes")
                   and m["totals"].get("enc_bytes") else None),
         "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
         "col_bytes": dict(sorted(col_bytes.items(),

@@ -883,23 +883,9 @@ def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decontaminate_train_oracle() -> str:
     from . import textops
 
-    parts = textops.winnow_parts("text", k=12, w=8)
-    _, grams_d = parts["grams"]
-    _, sel_d = parts["select"]
     train_from, eval_from = _contam_sources_duck()
-    return f"""
-WITH tsrc AS ({train_from}),
-     esrc AS ({eval_from}),
-     eg AS (SELECT doc_id, {grams_d} as g FROM esrc),
-     esel AS (SELECT doc_id, {sel_d} as fps FROM eg),
-     ef AS (SELECT DISTINCT unnest(fps) as fp FROM esel),
-     tg AS (SELECT doc_id, {grams_d} as g FROM tsrc),
-     tsel AS (SELECT doc_id, {sel_d} as fps FROM tg),
-     tf AS (SELECT doc_id, unnest(fps) as fp FROM tsel),
-     bad AS (SELECT DISTINCT t.doc_id FROM tf t JOIN ef e ON t.fp = e.fp)
-SELECT cast(doc_id as bigint) as doc_id FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-"""
+    return textops.decontaminate_oracle_sql(train_from, eval_from,
+                                            k=12, w=8)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

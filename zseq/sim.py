@@ -262,7 +262,12 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
     import math
 
     rows = (
-        df.filter(f"{id_col} % {c_mod} = 0")
+        # null / null-element vectors can never be centroids (they are
+        # normalized to null and join no cell); a WRONG-DIM vector that
+        # lands here still raises below — that's input validation, not
+        # dirty data, and must stay loud.
+        df.filter(f"{id_col} % {c_mod} = 0 and {vec_col} is not null "
+                  f"and not exists({vec_col}, x -> x is null)")
         .selectExpr(f"cast({id_col} as bigint) as cid", vec_col)
         .collect()
     )
@@ -408,15 +413,18 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
         # K = N / c_mod ~ sqrt(N)  =>  c_mod ~ sqrt(N)
         c_mod = max(1, int(math.sqrt(max(n, 1))))
     cents = _ivf_centroids(df, c_mod, id_col, vec_col, dim)
-    # A vector with a NULL ELEMENT is normalized to a NULL VECTOR before
-    # either path sees it: the inline SQL and the Arrow UDF would
-    # otherwise diverge (zip_with propagates element nulls into null
-    # scores with engine-specific tie behavior, while Arrow->pandas
-    # folds element nulls into NaN). Whole-null vectors join no cell and
-    # drop out — one documented semantic, identical on both paths.
+    # A vector with a NULL ELEMENT or a WRONG LENGTH is normalized to a
+    # NULL VECTOR before either path sees it: the inline SQL and the
+    # Arrow UDF would otherwise diverge (zip_with propagates element
+    # nulls into null scores and silently truncates ragged vectors with
+    # engine-specific tie behavior, while Arrow->pandas folds element
+    # nulls into NaN and the matrix prober can't score a short row).
+    # Null vectors join no cell and drop out — one documented semantic,
+    # identical on both paths.
     base = df.selectExpr(
         f"cast({id_col} as bigint) as {id_col}",
-        f"case when exists({vec_col}, x -> x is null) then null "
+        f"case when exists({vec_col}, x -> x is null) "
+        f"or size({vec_col}) != {dim} then null "
         f"else {vec_col} end as {vec_col}")
     inline_cap = (IVF_MAX_INLINE_TERMS if max_inline_terms is None
                   else max_inline_terms)

@@ -375,6 +375,32 @@ GROUP BY e.{id_col}
 """
 
 
+def decontaminate_oracle_sql(train_from: str, eval_from: str,
+                             col: str = "text", k: int = 5, w: int = 4,
+                             id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`decontaminate_train`: the surviving train
+    ids after dropping docs that share a winnowing fingerprint with
+    eval. Lives here so the winnow CTE scaffolding has exactly one
+    owner (shared staging with :func:`contamination_oracle_sql`)."""
+    parts = winnow_parts(col, k, w)
+    _, grams_d = parts["grams"]
+    _, sel_d = parts["select"]
+    return f"""
+WITH tsrc AS ({train_from}),
+     esrc AS ({eval_from}),
+     eg AS (SELECT {id_col}, {grams_d} as g FROM esrc),
+     esel AS (SELECT {id_col}, {sel_d} as fps FROM eg),
+     ef AS (SELECT DISTINCT unnest(fps) as fp FROM esel),
+     tg AS (SELECT {id_col}, {grams_d} as g FROM tsrc),
+     tsel AS (SELECT {id_col}, {sel_d} as fps FROM tg),
+     tf AS (SELECT {id_col}, unnest(fps) as fp FROM tsel),
+     bad AS (SELECT DISTINCT t.{id_col} FROM tf t
+             JOIN ef e ON t.fp = e.fp)
+SELECT cast({id_col} as bigint) as {id_col} FROM tsrc
+WHERE {id_col} NOT IN (SELECT {id_col} FROM bad)
+"""
+
+
 def winnow_oracle_sql(col: str = "text", k: int = 5, w: int = 4,
                       table: str = "documents",
                       id_col: str = "doc_id") -> str:
