@@ -407,3 +407,43 @@ def test_decimal38_hi_limb_is_near_free_for_small_values():
     narrow = C.encode_column(pa.array(vals, type=pa.decimal128(18, 2)))
     wide = C.encode_column(pa.array(vals, type=pa.decimal128(38, 2)))
     assert len(wide) - len(narrow) < 64, (len(narrow), len(wide))
+
+
+def test_decimal38_null_slot_garbage_deterministic_and_zone_exact():
+    """Two-limb chunks with garbage bytes under null slots: encoded
+    bytes are identical regardless of the garbage (nulls zeroed before
+    the codecs), and zone bounds cover only VALID rows (the garbage must
+    neither widen them nor leak into pruning)."""
+    import decimal
+
+    from zseq import zseqfile
+    from zseq.zseqfile import ZseqReader
+
+    t = pa.decimal128(38, 0)
+    big = (123 << 64) + 456
+
+    def make(garbage_lo, garbage_hi):
+        vals = np.zeros(6, dtype=np.int64)
+        vals[0], vals[1] = big & (2 ** 64 - 1), big >> 64   # value
+        vals[2], vals[3] = garbage_lo, garbage_hi           # null slot
+        vals[4], vals[5] = 7, 0                             # value 7
+        validity = pa.array([True, False, True]).buffers()[1]
+        return pa.Array.from_buffers(
+            t, 3, [validity, pa.py_buffer(vals.tobytes())])
+
+    a = make(0, 0)
+    b = make(-1, 2 ** 62)
+    assert C.encode_column(a, {}, "d") == C.encode_column(b, {}, "d")
+    assert rt(b).to_pylist() == [decimal.Decimal(big), None,
+                                 decimal.Decimal(7)]
+    # zone bounds from the FILE layer: [7, big] despite huge garbage
+    tbl = pa.table({"d": b})
+    buf = zseqfile.encode_table(tbl)
+    r = ZseqReader(buf)
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("d", ">", big)])), schema=r.schema)
+    assert r.blocks_skipped == 1 and out.num_rows == 0
+    r2 = ZseqReader(buf)
+    out2 = pa.Table.from_batches(
+        list(r2.batches(predicate=[("d", ">=", 7)])), schema=r2.schema)
+    assert r2.blocks_read == 1 and out2.num_rows == 3
