@@ -53,3 +53,32 @@ def test_hash_mode_can_collide_monsters(spark, skewed_df, tmp_path):
         for p in zenc.read_manifest(out)["parts"]
     )
     assert zdec.decode(spark, out).count() == 2008
+
+
+def test_salted_duplicate_heavy_keys_packed_by_total_mass(spark, tmp_path):
+    """Routing is per KEY, so a key appearing in many heavy rows must be
+    bin-packed ONCE with its summed mass: the partition holding the
+    duplicated key carries only that key, and the other monsters spread
+    elsewhere (per-row packing used to credit the copies to several
+    buckets while routing them all to one)."""
+    rows = []
+    for i in range(500):
+        n = 50 + i % 50
+        rows.append((f"doc_{i:06d}", list(range(n)), n, "light"))
+    # ONE key duplicated across 6 heavy rows + 3 distinct heavy keys
+    for _ in range(6):
+        rows.append(("dup_monster", list(range(50_000)), 50_000, "heavy"))
+    for i in range(3):
+        rows.append((f"mon_{i}", list(range(60_000)), 60_000, "heavy"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = str(tmp_path / "dupsalt")
+    res = zenc.encode(df, out, mode="salted", partitions=4)
+    masses = sorted(p["list_elems"] for p in res.parts)
+    # dup_monster = 300k mass; each mon_i = 60k; lights ~37k total.
+    # Correct packing isolates dup_monster; the other 3 monsters and the
+    # lights share the remaining buckets, so the heaviest partition is
+    # ~300k and the runner-up far below it.
+    assert masses[-1] < 330_000, masses
+    assert masses[-2] < 150_000, masses
+    assert zdec.decode(spark, out).count() == len(rows)

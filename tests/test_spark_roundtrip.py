@@ -306,3 +306,40 @@ def test_nested_map_parquet_roundtrip(spark, tmp_path):
     got = sorted([tuple(r) for r in zdec.decode(spark, out).collect()])
     want = sorted([tuple(r) for r in back_src.collect()])
     assert got == want
+
+
+def test_resume_refuses_schema_drift(spark, tokens_df, tmp_path):
+    """Resuming with a different dataframe schema must refuse up front:
+    reused parts were written under the OLD schema, and committing them
+    beneath a new-schema manifest would make every read fail."""
+    out = str(tmp_path / "rsd")
+    full = zenc.encode(tokens_df, out, partitions=4, mode="hash")
+    os.remove(os.path.join(out, full.parts[1]["file"]))
+    drifted = tokens_df.withColumnRenamed("source", "src")
+    with pytest.raises(ValueError, match="schema"):
+        zenc.encode(drifted, out, partitions=4, mode="hash", resume=True)
+    # same-schema resume still works after the refusal
+    res = zenc.encode(tokens_df, out, partitions=4, mode="hash",
+                      resume=True)
+    assert res.total_rows == 2000
+
+
+def test_encode_parquet_resume_refuses_projection_drift(spark, tokens_df,
+                                                        tmp_path):
+    """encode_parquet resume pins the COLUMN PROJECTION too, and an
+    unknown column in `columns` is named up front."""
+    src = str(tmp_path / "pqsrc")
+    tokens_df.repartition(2).write.parquet(src)
+    out = str(tmp_path / "pqout")
+    full = zenc.encode_parquet(spark, src, out,
+                               columns=["doc_id", "n_tok"])
+    os.remove(os.path.join(out, full.parts[0]["file"]))
+    with pytest.raises(ValueError, match="projection|schema"):
+        zenc.encode_parquet(spark, src, out, columns=["doc_id"],
+                            resume=True)
+    with pytest.raises(KeyError, match="typo"):
+        zenc.encode_parquet(spark, src, str(tmp_path / "pqout2"),
+                            columns=["typo"])
+    res = zenc.encode_parquet(spark, src, out,
+                              columns=["doc_id", "n_tok"], resume=True)
+    assert res.total_rows == 2000

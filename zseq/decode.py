@@ -43,9 +43,12 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
         from .zseqfile import check_crc
 
         for batch in batches:
-            paths = batch.column("path").to_pylist()
-            contents = batch.column("content").to_pylist()
-            for path, content in zip(paths, contents):
+            # one blob at a time: to_pylist would copy EVERY file's bytes
+            # in the batch into Python objects simultaneously, doubling
+            # peak memory across all of them
+            pcol, ccol = batch.column("path"), batch.column("content")
+            for i in range(batch.num_rows):
+                path, content = pcol[i].as_py(), ccol[i].as_py()
                 if crcs is not None:
                     want = next((crcs[k] for k in _crc_keys(path)
                                  if k in crcs), None)
@@ -126,6 +129,10 @@ def decode(spark: SparkSession, out_dir: str,
             raise FileNotFoundError(f"no .zseq files in {out_dir}")
         schema = ZseqReader(first[0]["content"]).schema
         names = list(schema.names)
+        if columns is not None:
+            missing = set(columns) - set(names)
+            if missing:  # same driver-side error the committed path gives
+                raise KeyError(f"zseq: unknown columns {sorted(missing)}")
         from pyspark.sql.pandas.types import from_arrow_schema
 
         out_schema = schema if columns is None else pa.schema([

@@ -390,7 +390,12 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
             tbl = _take_table(tbl, order)
     fname = fname or f"part-{part_id:05d}.zseq"
     final = os.path.join(out_dir, fname)
-    tmp = final + f".tmp-{os.getpid()}"
+    # Attempt-unique tmp: pid alone can COLLIDE across machines on a
+    # shared filesystem (speculative execution / zombie retries of the
+    # same task), interleaving two writers into one tmp file.
+    import uuid as _uuid
+
+    tmp = final + f".tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
     list_elems = 0
     for name in tbl.column_names:
         t = tbl.schema.field(name).type
@@ -404,8 +409,12 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
         w.finish()
         f.flush()
         os.fsync(f.fileno())
-    with open(tmp, "rb") as f:
-        crc = zlib.crc32(f.read())
+    # The writer maintains a running crc over every byte it EMITS, so the
+    # manifest records the intended content — a write corrupted on the
+    # way to disk now mismatches at first read instead of being blessed
+    # by a crc computed from re-reading the corrupt file (which also
+    # cost a full second pass of I/O per part).
+    crc = w.crc32
     os.replace(tmp, final)
     return {
         "part_id": part_id, "file": fname, "rows": tbl.num_rows,
@@ -555,6 +564,14 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         from .column import mark_reversed
 
         arrow_schema = mark_reversed(arrow_schema, reversed_cols)
+    if done_parts and prev is not None \
+            and prev.get("schema") != arrow_schema.serialize() \
+            .to_pybytes().hex():
+        raise ValueError(
+            "resume: dataframe schema (or reversed_cols) differs from "
+            "the committed manifest's — reused parts would contradict "
+            "the new manifest and every read would fail; encode fresh "
+            "(resume=False) or restore the original schema")
     # Map columns cross the JVM->Python boundary as entries arrays (see
     # strip_maps_df) and are rebuilt to true maps inside the worker; the
     # committed schema/format is the original, map-typed one.
@@ -563,7 +580,6 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     if mode == "salted":
         work = _salted_repartition(df, P, key)
         run = True
-        todo = list(range(P))
     elif mode == "hash":
         work = df.repartition(P, F.col(key))
         todo = sorted(set(range(P)) - set(done_parts))
@@ -592,7 +608,10 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
 
     manifest = build_manifest(
         mode=mode, partitions=P if mode == "hash" else len(parts),
-        arrow_schema=arrow_schema, parts=parts, partition_col=key,
+        arrow_schema=arrow_schema, parts=parts,
+        # preserve mode did not partition by any column — recording the
+        # defaulted key would claim a bucketing that never happened
+        partition_col=key if mode in ("hash", "salted") else None,
         zstd_level=zstd_level, reversed_cols=reversed_cols)
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
@@ -647,9 +666,20 @@ def _salted_repartition(df: DataFrame, P: int, key: str) -> DataFrame:
     # collectable at any corpus scale; everything lighter balances itself
     # by the law of large numbers under uniform hashing.
     heavy_cut = max(p999, target / 4.0)
+    # Aggregate mass PER KEY before the heavy cut: routing is by key
+    # (every row of a key lands in its assigned bucket), so what must be
+    # bin-packed is each key's TOTAL mass — a key spread over many
+    # individually-light duplicate rows is exactly as skew-dangerous as
+    # one giant row, and per-row packing both missed those and credited
+    # duplicate heavy rows to several buckets while the dict kept only
+    # the last label. The aggregation is map-side-combinable and
+    # shuffles only (key, double) partial sums — ~2 small values per
+    # key, not the token arrays the hash mode would shuffle — and the
+    # collect stays bounded by the ~4P heavy-mass budget.
     heavy = (
         df.selectExpr(f"{key} as k",
                       f"cast({weight_col} as double) as w")
+        .groupBy("k").agg(F.sum("w").alias("w"))
         .filter(F.col("w") >= heavy_cut)
         .collect()
     )
@@ -759,6 +789,15 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     # committed by a resume manifest were validated when first encoded
     # (input_files is pinned) and are skipped.
     want = {f.name: f.type for f in arrow_schema}
+    if columns:
+        unknown = set(columns) - set(want)
+        if unknown:
+            # validate the projection against files[0] FIRST — otherwise
+            # the drift sweep below blames other files for a column that
+            # exists nowhere (or KeyErrors on want[c])
+            raise KeyError(
+                f"encode_parquet: columns {sorted(unknown)} not in "
+                f"{files[0]}'s schema {sorted(want)}")
     required = set(columns) if columns else set(want)
     to_check = [f for i, f in enumerate(files)
                 if i not in done_parts and f != files[0]]
@@ -788,6 +827,14 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         from .column import mark_reversed
 
         arrow_schema = mark_reversed(arrow_schema, reversed_cols)
+    if done_parts and prev is not None \
+            and prev.get("schema") != arrow_schema.serialize() \
+            .to_pybytes().hex():
+        raise ValueError(
+            "resume: projected schema (columns/reversed_cols) differs "
+            "from the committed manifest's — reused parts would "
+            "contradict the new manifest; encode fresh (resume=False) "
+            "or restore the original projection")
     parts: list[dict] = []
     import uuid
 

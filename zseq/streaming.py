@@ -168,6 +168,7 @@ def decode_stream(spark: SparkSession, out_dir: str,
     paths: list[str] = []
     crcs: dict[str, int] = {}
     schema_hex: str | None = None
+    baseline: str | None = None  # the epoch the schema actually came from
     names: list[str] = []
     for d in epochs:
         m = read_manifest(d)
@@ -175,9 +176,10 @@ def decode_stream(spark: SparkSession, out_dir: str,
             continue
         if schema_hex is None:
             schema_hex, names = m["schema"], list(m["schema_names"])
+            baseline = d
         elif m["schema"] != schema_hex:
             raise ValueError(
-                f"{d}: epoch schema differs from {epochs[0]} — the stream "
+                f"{d}: epoch schema differs from {baseline} — the stream "
                 "was restarted with a different schema; compact or read "
                 "the epoch ranges separately")
         base = os.path.basename(os.path.normpath(d))

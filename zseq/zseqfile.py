@@ -39,6 +39,7 @@ from __future__ import annotations
 import io
 import json
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -64,6 +65,9 @@ class ZseqWriter:
         self.schema = schema
         self.total_rows = 0
         self.bytes_written = 0
+        #: running crc32 over every byte emitted — the manifest integrity
+        #: value, maintained here so writers never re-read their output
+        self.crc32 = 0
         self.codec_stats: dict[str, str] = {}
         # Per-column encoded bytes (top-level fields, incl. their chunk
         # length prefixes) — the lineage a 100 TB operator needs to see
@@ -78,6 +82,7 @@ class ZseqWriter:
     def _write(self, b: bytes) -> None:
         self._sink.write(b)
         self.bytes_written += len(b)
+        self.crc32 = zlib.crc32(b, self.crc32)
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
         if batch.schema.names != self.schema.names:
