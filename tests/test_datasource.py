@@ -444,3 +444,31 @@ def test_partition_packing_without_enc_bytes(spark, tmp_path):
     files0 = [f for g in groups0 for f, _ in g.files]
     assert sorted(files0) == sorted(files)
     assert len(groups0) >= min(16, r._min_tasks)
+
+
+def test_empty_dataset_reads_as_empty_dataframe(registered, tmp_path):
+    """A committed EMPTY dataset must read back as an empty DataFrame
+    with the right schema, not crash planning with read(None)."""
+    out = str(tmp_path / "emptyds")
+    empty = registered.createDataFrame(
+        [], "doc_id string, n_tok int")
+    empty.write.format("zseq").mode("overwrite").save(out)
+    back = registered.read.format("zseq").load(out)
+    assert back.count() == 0
+    assert back.columns == ["doc_id", "n_tok"]
+
+
+def test_min_partitions_option_controls_packing_floor(spark, tmp_path):
+    from zseq import encode as zenc
+    from zseq import synth
+    from zseq.datasource import ZseqSourceReader
+
+    out = str(tmp_path / "mp")
+    df = synth.tokens_df_range(spark, 1000, partitions=8)
+    zenc.encode(df, out, partitions=8, mode="hash")
+    r = ZseqSourceReader({"path": out, "min_partitions": "2",
+                          "target_partition_bytes": str(1 << 40)})
+    assert r._min_tasks == 2
+    assert 2 <= len(r.partitions()) <= 8
+    with pytest.raises(ValueError, match="load"):
+        ZseqSourceReader({})

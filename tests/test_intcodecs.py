@@ -133,3 +133,24 @@ def test_segment_zone_short_payload_returns_none():
     assert IC.segment_zone(short, 0, vals.size) is None
     for t in (IC.T_CONST, IC.T_PACK, IC.T_DELTA, IC.T_DICT, IC.T_WRAP):
         assert IC.segment_zone(IC.HEADER.pack(t, 0), 0, 10) is None
+
+
+def test_selector_not_fooled_by_sub_stride_oscillation():
+    """Adjacent ±big oscillation with period smaller than the strided
+    sample step: per-window adjacent deltas must expose the true delta
+    width so DELTA's predicted size isn't a fantasy (strided diffs used
+    to read it as smooth)."""
+    import numpy as np
+
+    n = 2_000_000
+    base = np.arange(n, dtype=np.int64) // 1000      # slow upward drift
+    osc = np.where(np.arange(n) % 2 == 0, 0, 1_000_000)
+    arr = base + osc
+    st = select.int_stats(arr)
+    assert st.delta_bits >= 20, st.delta_bits   # ~2e6 zigzag ≈ 21 bits
+    chosen = select.select_int_codec(arr)
+    assert chosen != IC.T_DELTA, IC.INT_CODEC_NAMES[chosen]
+    # and the honest pick must still roundtrip
+    enc = IC.encode_ints(arr)
+    dec, _ = IC.decode_ints(enc, 0, n)
+    assert np.array_equal(dec, arr)

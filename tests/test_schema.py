@@ -126,3 +126,23 @@ def test_merge_maps_identical_inf_nan_not_conflict(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="merge conflict"):
         S.merge_maps(a.filter("k = 1"), c, "k").collect()
+
+
+def test_fill_defaults_binary_and_array(spark):
+    """Binary defaults go through coalesce (DataFrame.fillna has no
+    bytes case and would throw); arrays fill to []."""
+    df = spark.createDataFrame(
+        [(1, None, None), (2, b"xy", [3])],
+        "i long, b binary, a array<int>")
+    out = {r.i: r for r in S.fill_defaults(df).collect()}
+    assert bytes(out[1].b) == b"" and out[1].a == []
+    assert bytes(out[2].b) == b"xy" and out[2].a == [3]
+
+
+def test_merge_maps_column_set_mismatch_raises(spark):
+    """A column present on only one side must refuse (merge_tables
+    contract) — silently dropping b-only data is not a merge."""
+    a = spark.createDataFrame([(1, 10)], "k long, v long")
+    b = spark.createDataFrame([(1, 10, 99)], "k long, v long, w long")
+    with pytest.raises(S.SchemaError, match="column sets"):
+        S.merge_maps(a, b, "k")

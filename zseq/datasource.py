@@ -189,6 +189,11 @@ class ZseqSourceReader(DataSourceReader):
         from .encode import read_manifest
 
         self._dir = options.get("path")
+        if not self._dir:
+            # reachable without DataSource.schema()'s guard when the
+            # user supplies an explicit schema — fail with the intended
+            # message, not a TypeError from os.path.join(None, ...)
+            raise ValueError("zseq: .load(path) is required")
         m = read_manifest(self._dir)
         if m is None:
             from .streaming import committed_epochs
@@ -232,14 +237,24 @@ class ZseqSourceReader(DataSourceReader):
         # one file per task — the same plan shape as zseq.decode.
         self._target_bytes = int(
             options.get("target_partition_bytes", 128 << 20))
-        try:
-            from pyspark.sql import SparkSession
+        # Parallelism floor. The reader is constructed inside Spark's
+        # spawned planning worker, where getActiveSession() is usually
+        # None — so an explicit .option("min_partitions", N) wins, then
+        # the session (when visible), then the machine's core count
+        # (right for local mode; a sane per-node floor on a cluster).
+        mp = int(options.get("min_partitions", 0))
+        if mp > 0:
+            self._min_tasks = mp
+        else:
+            try:
+                from pyspark.sql import SparkSession
 
-            active = SparkSession.getActiveSession()
-            self._min_tasks = (active.sparkContext.defaultParallelism
-                               if active else 8)
-        except Exception:
-            self._min_tasks = 8
+                active = SparkSession.getActiveSession()
+                self._min_tasks = (
+                    active.sparkContext.defaultParallelism if active
+                    else max(8, os.cpu_count() or 8))
+            except Exception:
+                self._min_tasks = max(8, os.cpu_count() or 8)
         # Zone maps exist for int-kind chunks (ints, timestamps, dates in
         # their storage domain) and for binary/string chunks (truncated
         # byte bounds) — those columns accept pushdown.
@@ -349,6 +364,11 @@ class ZseqSourceReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
+        if not self._parts:
+            # a committed EMPTY dataset must read as an empty DataFrame:
+            # returning [] here makes Spark's planning worker call
+            # read(None), which crashes the job
+            return [ZseqPartGroup(())]
         total = sum(s for _, _, s in self._parts)
         if total == 0 and len(self._parts) > 1:
             # No size information at all (manifest lacks enc_bytes and
@@ -483,6 +503,15 @@ class ZseqStreamWriter(DataSourceStreamArrowWriter):
     the staged files into the epoch directory and writes its manifest
     atomically — a replayed epoch that already committed is a no-op
     (exactly-once), abort removes the staged files.
+
+    CAVEAT (same semantics as Spark's built-in file sink, whose
+    _spark_metadata log lives in the output dir): the epoch manifests in
+    the OUTPUT directory are the commit log. Starting a NEW query (fresh
+    checkpoint) against a directory that already holds epochs treats
+    those epoch ids as committed and silently skips the colliding batch
+    ids — restart-replay exactly-once depends on this, so it cannot be
+    distinguished from a collision. Use a fresh output directory per
+    logical stream, or `python -m zseq compact` the old one first.
     """
 
     def __init__(self, options: dict, schema: StructType):

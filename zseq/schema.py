@@ -169,6 +169,12 @@ def merge_maps(a: DataFrame, b: DataFrame, key: str,
     a distributed engine re-merges the same shard after retries, and a
     NaN column must not poison an idempotent replay. Parity audits: this
     is the one L5 behavior that intentionally differs."""
+    if set(a.columns) != set(b.columns):
+        # same contract merge_tables enforces — a column present on one
+        # side only would otherwise be SILENTLY dropped from the merge
+        raise SchemaError(
+            f"merge_maps: column sets differ: {sorted(a.columns)} vs "
+            f"{sorted(b.columns)}")
     value_cols = [c for c in a.columns if c != key]
     bj = b.select(key, *[F.col(c).alias(f"__b_{c}") for c in value_cols])
     joined = a.join(bj, on=key, how="full_outer")
@@ -241,6 +247,11 @@ def fill_defaults(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 f.name,
                 F.coalesce(F.col(f.name),
                            F.array().cast(f.dataType.simpleString())))
+        elif isinstance(f.dataType, T.BinaryType):
+            # DataFrame.fillna's JVM value match has no bytes case —
+            # coalesce with an empty-binary literal instead
+            out = out.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.lit(b"")))
         else:
             out = out.fillna({f.name: d})
     return out

@@ -23,8 +23,6 @@ from .codecs import primitives as P
 
 SAMPLE = 8192
 
-_wrap = np.errstate(over="ignore")
-
 
 @dataclass
 class IntStats:
@@ -55,28 +53,40 @@ def int_stats(arr: np.ndarray) -> IntStats:
     range_bits = rng.bit_length() if rng else 0
     uniq = np.unique(s)
     card_ratio = uniq.size / m
-    if m > 1:
-        with _wrap:
-            d = np.diff(s)
-        runs = float(np.count_nonzero(d)) + 1.0
-        mean_run = m / runs
-        sorted_frac = float(np.count_nonzero(d >= 0)) / (m - 1)
-        zz = P.zigzag_encode(d)
-        delta_bits = int(zz.max()).bit_length() if zz.size else 0
-    else:
-        mean_run, sorted_frac, delta_bits = 1.0, 1.0, 0
     med_est = int(np.partition(s, m // 2)[m // 2]) if m else 0
-    # FORBP's advantage over whole-array PACK is per-mini width adaptivity;
-    # estimate it from CONTIGUOUS windows (the strided sample destroys the
-    # locality that makes mini-blocks narrow).
+    # Delta/run/sortedness statistics come from CONTIGUOUS windows, not
+    # the strided sample: step-apart differences are blind to adjacent
+    # oscillation (a ±1e6 alternation with period under the stride reads
+    # as tiny smooth deltas and makes DELTA's predicted size a fantasy),
+    # and runs shorter than the stride vanish the same way. The windows
+    # also feed mini_bits — FORBP's per-mini width adaptivity estimate —
+    # since the strided sample destroys exactly the locality that makes
+    # mini-blocks narrow.
     win = min(IC.MINI, n)
     nwin = min(8, max(1, n // win))
     bits = []
+    d_nonzero = d_nonneg = d_count = 0
+    delta_bits = 0
     for i in range(nwin):
         start = (n - win) * i // max(1, nwin - 1) if nwin > 1 else 0
         w = arr[start : start + win]
         r = (int(w.max()) - int(w.min())) & ((1 << 64) - 1)
         bits.append(r.bit_length())
+        if w.size > 1:
+            with np.errstate(over="ignore"):
+                d = np.diff(w)
+            d_nonzero += int(np.count_nonzero(d))
+            d_nonneg += int(np.count_nonzero(d >= 0))
+            d_count += d.size
+            zz = P.zigzag_encode(d)
+            if zz.size:
+                delta_bits = max(delta_bits,
+                                 int(zz.max()).bit_length())
+    if d_count:
+        mean_run = (d_count + nwin) / (d_nonzero + nwin)
+        sorted_frac = d_nonneg / d_count
+    else:
+        mean_run, sorted_frac = 1.0, 1.0
     mini_bits = float(np.mean(bits)) if bits else 0.0
     return IntStats(n, m, card_ratio, mean_run, sorted_frac,
                     range_bits, delta_bits, vmin, vmax, med_est, mini_bits)
@@ -140,27 +150,5 @@ def select_int_codec(arr: np.ndarray,
     return min(sizes, key=sizes.__getitem__)
 
 
-# ---------------------------------------------------------------------------
-# Binary (string) columns
-# ---------------------------------------------------------------------------
-
-@dataclass
-class BinStats:
-    n: int
-    total_bytes: int
-    card_ratio: float
-    mean_len: float
-    distinct_sampled: int
-
-
-def bin_stats(lengths: np.ndarray, n_sample_values: np.ndarray | None,
-              sample_hash: np.ndarray | None = None) -> BinStats:
-    n = int(lengths.size)
-    total = int(lengths.sum()) if n else 0
-    mean_len = total / n if n else 0.0
-    if sample_hash is not None and sample_hash.size:
-        distinct = int(np.unique(sample_hash).size)
-        card_ratio = distinct / sample_hash.size
-    else:
-        distinct, card_ratio = n, 1.0
-    return BinStats(n, total, card_ratio, mean_len, distinct)
+# Binary/string codec selection lives in codecs.bytescodecs
+# (select_bin_codec) — sample-ratio trial gating directly on the data.

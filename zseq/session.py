@@ -32,6 +32,13 @@ def ship_package(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
+    # Executors FETCH the zip lazily from this original path (deleting it
+    # eagerly breaks Executor.updateDependencies — measured), so the
+    # mkstemp file must outlive the app; clean it up at interpreter exit
+    # instead of leaking one zip per session on long-lived hosts.
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.remove(p))
     spark._zseq_shipped = True
 
 
