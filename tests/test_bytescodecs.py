@@ -99,3 +99,39 @@ def test_zstd_level_configurable_roundtrip():
     import pytest as _pt
     with _pt.raises(ValueError, match="1, 22"):
         BC.set_zstd_level(0)
+
+
+def test_bin_const_strict_payload_size():
+    """Strict decode: truncated or over-long T_BIN_CONST payloads refuse
+    instead of returning lengths inconsistent with the data buffer."""
+    import struct as _st
+
+    from zseq.codecs import bytescodecs as BC
+
+    lengths = np.full(10, 4, dtype=np.int64)
+    data = np.frombuffer(b"abcd" * 10, np.uint8)
+    seg = BC.encode_binary(lengths, data, codec=BC.T_BIN_CONST)
+    tag, plen = _st.unpack_from("<BI", seg, 0)
+    assert tag == BC.T_BIN_CONST
+    # truncate one value byte (fix up the header length)
+    bad = bytes([tag]) + _st.pack("<I", plen - 2) + seg[5:-2]
+    with pytest.raises(ValueError, match="bin_const"):
+        BC.decode_binary(bad, 0, 10)
+    # trailing junk inside the payload
+    bad2 = bytes([tag]) + _st.pack("<I", plen + 3) + seg[5:] + b"JNK"
+    with pytest.raises(ValueError, match="bin_const"):
+        BC.decode_binary(bad2, 0, 10)
+
+
+def test_bin_fsst_trailing_junk_refused():
+    from zseq.codecs import bytescodecs as BC
+    import struct as _st
+
+    strs = [b"hello", b"help", b"hold"] * 30
+    lengths = np.array([len(s) for s in strs], dtype=np.int64)
+    data = np.frombuffer(b"".join(strs), np.uint8)
+    seg = BC.encode_binary(lengths, data, codec=BC.T_BIN_FSST)
+    tag, plen = _st.unpack_from("<BI", seg, 0)
+    bad = bytes([tag]) + _st.pack("<I", plen + 5) + seg[5:] + b"junk!"
+    with pytest.raises(ValueError, match="fsst"):
+        BC.decode_binary(bad, 0, len(strs))

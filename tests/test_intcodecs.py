@@ -154,3 +154,16 @@ def test_selector_not_fooled_by_sub_stride_oscillation():
     enc = IC.encode_ints(arr)
     dec, _ = IC.decode_ints(enc, 0, n)
     assert np.array_equal(dec, arr)
+
+
+def test_const_strict_payload_size():
+    """T_CONST payloads must be exactly 8 bytes — a truncated payload
+    would silently decode to a wrong value."""
+    import struct as _st
+
+    seg = IC.encode_ints(np.full(5, 42, dtype=np.int64))
+    tag, plen = _st.unpack_from("<BI", seg, 0)
+    assert tag == IC.T_CONST and plen == 8
+    bad = bytes([tag]) + _st.pack("<I", 3) + seg[5:8]
+    with pytest.raises(ValueError, match="const"):
+        IC.decode_ints(bad, 0, 5)

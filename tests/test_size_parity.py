@@ -141,3 +141,26 @@ def test_enum_column_beats_reference():
     ours = len(C.encode_column(u))
     theirs = oracle.column_size(u)
     assert ours <= theirs, (ours, theirs)
+
+
+def test_struct_map_decimal_columns_beat_reference():
+    """The <=-reference gate extends to struct / map / decimal columns
+    (previously the oracle had no dispatch for them at all)."""
+    from decimal import Decimal
+
+    n = 2000
+    tbl = pa.table({
+        "st": pa.array([{"a": i % 50, "b": f"v{i % 20}"}
+                        for i in range(n)],
+                       pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "mp": pa.array([[(f"k{i % 5}", i)] for i in range(n)],
+                       pa.map_(pa.string(), pa.int64())),
+        "dec": pa.array([Decimal(i % 1000) / 100 for i in range(n)],
+                        pa.decimal128(12, 2)),
+        "dec38": pa.array([Decimal(i % 1000) * 10 ** 20 for i in range(n)],
+                          pa.decimal128(38, 0)),
+    })
+    ours = _zseq_column_sizes(tbl)
+    ref = oracle.table_column_sizes(tbl)
+    for name in tbl.column_names:
+        assert ours[name] <= ref[name], (name, ours[name], ref[name])

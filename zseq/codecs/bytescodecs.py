@@ -137,8 +137,9 @@ def _enc_dict(lengths: np.ndarray, data: np.ndarray) -> bytes:
     denc = arr.dictionary_encode()
     dvals = denc.dictionary
     idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dict_blob = b"".join(dvals.to_pylist())
-    dlens = np.array([len(v) for v in dvals.to_pylist()], dtype=np.int64)
+    dict_vals = dvals.to_pylist()
+    dict_blob = b"".join(dict_vals)
+    dlens = np.array([len(v) for v in dict_vals], dtype=np.int64)
     dbuf = np.frombuffer(dict_blob, dtype=np.uint8)
     sub_tag = select_bin_codec(dlens, dbuf)
     if sub_tag == T_BIN_DICT:  # no recursive dictionaries
@@ -236,7 +237,14 @@ def decode_binary(buf, offset: int, count: int) -> tuple[np.ndarray, np.ndarray,
         data, lengths = fsst.decompress(payload, count)
         return lengths, data, end
     if tag == T_BIN_CONST:
+        if len(payload) < 4:
+            raise ValueError("bin_const: truncated header")
         (L,) = struct.unpack_from("<I", payload, 0)
+        if len(payload) != 4 + L:
+            # strict decode: a truncated value would otherwise return
+            # lengths inconsistent with the data buffer (offsets past
+            # the end downstream); trailing junk must refuse too
+            raise ValueError("bin_const: payload size mismatch")
         val = np.frombuffer(payload[4 : 4 + L], dtype=np.uint8)
         lengths = np.full(count, L, dtype=np.int64)
         return lengths, np.tile(val, count), end

@@ -256,14 +256,12 @@ def decode_column(enc: np.ndarray, enc_offsets: np.ndarray,
     if esc_pos.size:
         # Sequential dependency exists only within runs of consecutive 255s;
         # walk runs (few) instead of bytes (many).
-        lit_mask = np.zeros(total + 1, dtype=bool)
         runs_start = esc_pos[
             np.concatenate([[True], np.diff(esc_pos) > 1])
         ]
         for rs in runs_start:
             p = rs
             while p < total and is_start[p] and enc[p] == ESCAPE:
-                lit_mask[p + 1] = True
                 if p + 1 < total:
                     is_start[p + 1] = False
                 p += 2
@@ -346,6 +344,10 @@ def decompress(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
     enc = np.frombuffer(buf[pos : pos + enc_size], dtype=np.uint8)
     if enc.size != enc_size:
         raise ValueError("fsst: truncated encoded bytes")
+    if pos + enc_size != len(buf):
+        # strict consume (codec-layer contract): trailing junk in the
+        # segment payload must refuse like every other bin codec
+        raise ValueError("fsst: trailing payload bytes")
     enc_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(enc_lengths, out=enc_offsets[1:])
     data, lengths = decode_column(enc, enc_offsets, table)

@@ -176,12 +176,13 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
     if nfull:
         mins[:nfull] = mins_full
         widths[:nfull] = bl
+    tail_d = None
     if nminis > nfull:  # trailing partial mini
         blk = arr[nfull * mini:]
         lo = int(blk.min())
         with _wrap:
-            d = (blk - np.int64(lo)).view(np.uint64)
-        hi = int(d.max())
+            tail_d = (blk - np.int64(lo)).view(np.uint64)
+        hi = int(tail_d.max())
         mins[-1] = lo
         widths[-1] = 0 if hi == 0 else hi.bit_length()
     heads = np.empty((nminis, 9), dtype=np.uint8)
@@ -206,9 +207,7 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
         m = e
     if nminis > nfull:
         w = int(widths[-1])
-        blk = arr[nfull * mini:]
-        with _wrap:
-            d = (blk - np.int64(int(mins[-1]))).view(np.uint64)
+        d = tail_d  # computed once with the width above
         if w == 64:
             bodies.append(d.astype("<u8").tobytes())
         elif w > 0:
@@ -465,6 +464,10 @@ def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
             raise ValueError("segment: payload for zero elements")
         return np.zeros(0, dtype=np.int64), end
     if tag == T_CONST:
+        if plen != 8:
+            # strict decode (module contract): a 3-byte payload would
+            # otherwise silently decode to a wrong value
+            raise ValueError("const: payload must be exactly 8 bytes")
         v = int.from_bytes(payload[0:8], "little", signed=True)
         return np.full(count, v, dtype=np.int64), end
     if tag == T_RAW:

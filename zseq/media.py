@@ -121,6 +121,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     resized datasets re-enter every other operator unchanged."""
     if width <= 0 or height <= 0:
         raise ValueError("resize: width/height must be positive")
+    if width > 0xFFFF or height > 0xFFFF:
+        # ZMK1 stores dims as u16 — refuse on the driver, not as a
+        # struct.error inside some executor task
+        raise ValueError("resize: width/height exceed the format's "
+                         "65535 ceiling")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

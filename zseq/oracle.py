@@ -118,14 +118,10 @@ def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     filler = "" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else b""
     if arr.null_count:
         arr = pc.fill_null(arr, filler)
-    vals = arr.to_pylist()
-    blob = b"".join(
-        v.encode() if isinstance(v, str) else v for v in vals
-    )
-    lengths = np.array(
-        [len(v.encode() if isinstance(v, str) else v) for v in vals],
-        dtype=np.int64,
-    )
+    raw = [v.encode() if isinstance(v, str) else v
+           for v in arr.to_pylist()]
+    blob = b"".join(raw)
+    lengths = np.array([len(v) for v in raw], dtype=np.int64)
     return lengths, blob
 
 
@@ -162,6 +158,50 @@ def column_size(arr: pa.Array) -> int:
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
         return array_column_size(lengths, column_size(arr.flatten()))
+    if pa.types.is_struct(t):
+        # Column::Struct: per-field child columns (striped SoA split)
+        return struct_column_size({
+            t.field(i).name: column_size(arr.field(i))
+            for i in range(t.num_fields)
+        })
+    if pa.types.is_map(t):
+        # Map = lengths + key child + value child (striped.rs:106-125);
+        # lengths from the offsets buffer (pyarrow's list_value_length
+        # has no map kernel)
+        n = len(arr)
+        if n == 0:
+            offs = np.zeros(1, dtype=np.int64)
+        else:
+            offs = np.frombuffer(arr.buffers()[1], np.int32,
+                                 count=arr.offset + n + 1)[arr.offset:] \
+                .astype(np.int64)
+        lengths = np.diff(offs) if n else np.zeros(0, dtype=np.int64)
+        lo, hi = int(offs[0]), int(offs[-1])
+        return (1 + 1
+                + int_array_compressed_size(lengths)
+                + column_size(arr.keys.slice(lo, hi - lo))
+                + column_size(arr.items.slice(lo, hi - lo)))
+    if pa.types.is_decimal128(t):
+        # The reference's data model is i64/f64 only (logical.rs:10-24):
+        # a decimal's faithful zbra representation is its unscaled value
+        # as Int (one i64 column for <= 18 digits, a two-field Struct of
+        # hi/lo i64 limbs beyond — mirroring how zseq stores it).
+        n = len(arr)
+        buf = arr.buffers()[1]
+        raw = np.frombuffer(buf, dtype=np.int64,
+                            count=2 * (arr.offset + n)).reshape(-1, 2)
+        raw = raw[arr.offset:]
+        lo64, hi64 = raw[:, 0].copy(), raw[:, 1].copy()
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            lo64 = np.where(valid, lo64, 0)
+            hi64 = np.where(valid, hi64, 0)
+        if t.precision <= 18:
+            return int_column_size(lo64)
+        return struct_column_size({
+            "lo": int_column_size(lo64), "hi": int_column_size(hi64)})
     if pa.types.is_union(t):
         if t.mode != "dense":
             raise NotImplementedError("zbra oracle: sparse union")
