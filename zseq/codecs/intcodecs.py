@@ -476,7 +476,10 @@ def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
             raise ValueError("raw: count mismatch")
         return arr.astype(np.int64, copy=True), end
     if tag == T_ZBRA:
-        return P.zbra_decompress_int_array(payload, count), end
+        out = P.zbra_decompress_int_array(payload, count)
+        if out.size != count:
+            raise ValueError("zbra_pipe: count mismatch")
+        return out, end
     if tag == T_PACK:
         return _dec_pack(payload, count), end
     if tag == T_FORBP:

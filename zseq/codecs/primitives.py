@@ -128,6 +128,12 @@ def bp64_pack(values: np.ndarray) -> bytes:
 def bp64_unpack(packed: bytes | memoryview, count: int) -> np.ndarray:
     buf = memoryview(packed)
     if len(buf) == 0:
+        if count:
+            # strict decode: an empty payload promising values would
+            # otherwise return a short array that callers silently use.
+            # (A WIDTH-0 header with count values is different and
+            # legitimate: the reference encodes all-zero deltas that way.)
+            raise ValueError("bp64: empty payload for nonzero count")
         return np.zeros(0, dtype=np.uint64)
     width = buf[0]
     if width == 0 or count == 0:
@@ -231,6 +237,9 @@ def zbra_compress_int_array(values: np.ndarray) -> bytes:
 def zbra_decompress_int_array(data: bytes | memoryview, count: int) -> np.ndarray:
     buf = memoryview(data)
     if len(buf) == 0:
+        if count:
+            raise ValueError(
+                "zbra int pipeline: empty payload for nonzero count")
         return np.zeros(0, dtype=np.int64)
     if len(buf) < 12:
         raise ValueError("zbra int pipeline: invalid compressed data length")

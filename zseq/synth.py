@@ -99,13 +99,33 @@ def doc_id_str(doc_ids: np.ndarray) -> list[str]:
     return [f"doc_{int(d):08d}" for d in doc_ids]
 
 
+def _check_id_range(start: int, n_docs: int) -> None:
+    """The F0 fixture contract holds for doc ids < 10^8: beyond that the
+    8-char lpad doc_id truncates on the SQL side (colliding ids) and the
+    token formulas approach int64 wrap with engine-divergent semantics.
+    Refuse loudly instead of silently desynchronizing the three
+    derivations."""
+    if start + n_docs > 100_000_000:
+        raise ValueError(
+            "synth tokens fixture: doc ids must stay below 10^8 "
+            f"(requested up to {start + n_docs})")
+
+
 def tokens_table_arrow(n_docs: int, start: int = 0) -> pa.Table:
     """The tokens table as a pyarrow Table for doc ids [start, start+n)."""
+    _check_id_range(start, n_docs)
     ids = np.arange(start, start + n_docs, dtype=np.int64)
     n_tok = n_tok_of(ids)
     flat = flat_tokens(ids, n_tok)
-    offsets = np.zeros(n_docs + 1, dtype=np.int32)
-    np.cumsum(n_tok, out=offsets[1:])
+    # int64 first: cumsum straight into an int32 out-array silently
+    # WRAPS past 2^31 total tokens (~13.7M docs); overflow must raise
+    offs64 = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs64[1:])
+    if offs64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "synth tokens fixture: total tokens exceed int32 list "
+            "offsets — generate in several [start, start+n) chunks")
+    offsets = offs64.astype(np.int32)
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
     )
@@ -175,6 +195,7 @@ def tokens_duckdb_sql(table: str = "documents") -> str:
 
 def tokens_df_range(spark, n_docs: int, partitions: int | None = None):
     """Self-contained Spark tokens table over spark.range (bench scale)."""
+    _check_id_range(0, n_docs)
     frags = tokens_sql_spark("id")
     rng = spark.range(0, n_docs, 1, partitions) if partitions \
         else spark.range(n_docs)

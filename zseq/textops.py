@@ -23,6 +23,16 @@ LANG_MARKERS = {
     "es": ["el", "la", "que", "de", "es"],
 }
 
+# One explicit whitespace class for BOTH engines: Java's \\s includes
+# vertical tab (\\x0B), RE2's does not — a document containing \\x0B would
+# otherwise normalize/count differently in Spark vs the DuckDB oracle.
+# The class holds the six REAL control characters (literal bytes need no
+# regex escaping inside a class, and neither engine's string-literal
+# escape processing touches raw bytes — Spark's parser eats unknown
+# textual escapes like \\x).
+_WS_S = "[ \t\n\f\r\x0b]+"
+_WS_D = _WS_S
+
 _WORDS = "split(trim({col}), ' +')"
 _WORDS_DUCK = "string_split_regex(trim({col}), ' +')"
 
@@ -86,8 +96,9 @@ def lang_score_exprs(col: str = "text") -> dict[str, tuple[str, str]]:
     return out
 
 
-def lang_winner_expr(dialect: str) -> str:
-    """CASE picking the max-scoring language (ties: declaration order)."""
+def lang_winner_expr() -> str:
+    """CASE picking the max-scoring language (ties: declaration order).
+    Dialect-neutral by construction (plain CASE over the score columns)."""
     scores = list(LANG_MARKERS)
     conds = []
     for lang in scores:
@@ -98,8 +109,10 @@ def lang_winner_expr(dialect: str) -> str:
 
 
 def fingerprint_exprs(col: str = "text") -> tuple[str, str]:
-    """Document fingerprint: md5 of whitespace-normalized lowercase text
-    (cross-engine deterministic)."""
+    """Document fingerprint: md5 of lowercase text with SPACE RUNS
+    collapsed (' +' only — deliberately narrower than winnow_parts'
+    full whitespace class; this operator's contract is byte-stable
+    space-normalization, cross-engine deterministic)."""
     norm_s = f"lower(regexp_replace(trim({col}), ' +', ' '))"
     norm_d = f"lower(regexp_replace(trim({col}), ' +', ' ', 'g'))"
     return (f"md5({norm_s})", f"md5({norm_d})")
@@ -139,8 +152,8 @@ def winnow_parts(col: str = "text", k: int = 5,
     the window lambda re-evaluates every md5 per window — O(len^2) per
     document in BOTH engines (measured: minutes instead of seconds on
     the 500-doc table)."""
-    norm_s = f"lower(regexp_replace(trim({col}), '\\\\s+', ' '))"
-    norm_d = f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+    norm_s = f"lower(regexp_replace(trim({col}), '{_WS_S}', ' '))"
+    norm_d = f"lower(regexp_replace(trim({col}), '{_WS_D}', ' ', 'g'))"
     # NB: Spark's sequence(1, 0) counts DOWN — guard short texts.
     grams_s = (
         f"case when length({norm_s}) >= {k} then "
@@ -198,11 +211,11 @@ def gopher_flag_exprs(col: str = "text",
     # very docs the bullet/ellipsis rules exist for get mis-measured by
     # the word rules. (text_analyze's space-only split is a separate,
     # documented operator contract.)
-    w_s = f"split(trim({col}), '\\\\s+')"
-    w_d = f"string_split_regex(trim({col}), '\\s+')"
+    w_s = f"split(trim({col}), '{_WS_S}')"
+    w_d = f"string_split_regex(trim({col}), '{_WS_D}')"
     nw_s, nw_d = f"size({w_s})", f"len({w_d})"
-    ch_s = f"length(regexp_replace({col}, '\\\\s+', ''))"
-    ch_d = f"length(regexp_replace({col}, '\\s+', '', 'g'))"
+    ch_s = f"length(regexp_replace({col}, '{_WS_S}', ''))"
+    ch_d = f"length(regexp_replace({col}, '{_WS_D}', '', 'g'))"
     sym_s = (f"(regexp_count({col}, '#') + "
              f"regexp_count({col}, '\\\\.\\\\.\\\\.'))")
     sym_d = (f"(len(regexp_extract_all({col}, '#')) + "
@@ -480,7 +493,7 @@ def analyze(spark: SparkSession, sf_dir: str,
     fp_s, _ = fingerprint_exprs(col)
     exprs.append(f"{fp_s} as fingerprint")
     out = df.selectExpr(*exprs)
-    return out.selectExpr("*", lang_winner_expr("spark") + " as lang_guess")
+    return out.selectExpr("*", lang_winner_expr() + " as lang_guess")
 
 
 def analyze_oracle_sql(col: str = "text") -> str:
@@ -498,6 +511,6 @@ def analyze_oracle_sql(col: str = "text") -> str:
         + f" FROM (SELECT doc_id, coalesce({col}, '') as {col} FROM documents)"
     )
     return (
-        f"SELECT *, {lang_winner_expr('duckdb')} as lang_guess "
+        f"SELECT *, {lang_winner_expr()} as lang_guess "
         f"FROM ({inner})"
     )
