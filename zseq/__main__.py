@@ -36,6 +36,12 @@ def cmd_encode(args) -> int:
     spark = _spark(args)
     from . import encode as zenc
 
+    if args.partitions is not None and args.mode in ("files", "preserve"):
+        # encode_parquet maps 1 input file -> 1 part and preserve mode
+        # keeps input splits: a partition count would be silently ignored
+        print(f"error: --partitions has no effect in mode={args.mode} "
+              "(use --mode hash or salted)", file=sys.stderr)
+        return 1
     if args.mode == "files":
         res = zenc.encode_parquet(spark, args.input, args.out,
                                   resume=args.resume,
@@ -176,10 +182,16 @@ def cmd_verify(args) -> int:
                                                   f.dataType))
         return out
 
-    src, dec = comparable(src), comparable(dec)
-    n_src = src.count()
-    missing = src.exceptAll(dec).count()
-    extra = dec.exceptAll(src).count()
+    # persist: count + two exceptAll actions would otherwise re-run the
+    # full decode twice and the source scan three times
+    src, dec = comparable(src).persist(), comparable(dec).persist()
+    try:
+        n_src = src.count()
+        missing = src.exceptAll(dec).count()
+        extra = dec.exceptAll(src).count()
+    finally:
+        src.unpersist()
+        dec.unpersist()
     ok = missing == 0 and extra == 0
     print(json.dumps({"rows": n_src, "missing": missing, "extra": extra,
                       "bit_identical": ok}))

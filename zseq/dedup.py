@@ -204,6 +204,11 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
     intersection with array_intersect. No all-pairs shingle join ever runs
     over the full corpus (that quadratic blow-up is exactly what LSH
     exists to avoid). bands*rows must equal num_hashes."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"minhash_dedup: bands ({bands}) must divide num_hashes "
+            f"({num_hashes}) — integer division would silently drop "
+            f"{num_hashes % bands} hashes and change the recall curve")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, col, k, num_hashes)
     # The candidate set is referenced three times below (ids twice, the
@@ -250,7 +255,7 @@ def simhash(df: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
     explode words -> per-bit votes via bit arithmetic -> groupBy sum."""
     words = df.selectExpr(
         "cast(doc_id as bigint) as doc_id",
-        "explode(split(trim(coalesce(text, '')), ' +')) as w",
+        f"explode(split(trim(coalesce({col}, '')), ' +')) as w",
     ).withColumn("h", F.xxhash64("w"))
     votes = [
         F.sum(
@@ -429,24 +434,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = und.selectExpr("a as doc_id").distinct() \
         .withColumn("component", F.col("doc_id")) \
         .localCheckpoint(eager=True)
-    prev_sum = labels.selectExpr(
-        "sum(component) as s").collect()[0]["s"]
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["a"] == labels["doc_id"])
             .groupBy("b").agg(F.min("component").alias("nc"))
         )
-        labels = (
+        # Convergence = ZERO labels changed this round (labels only ever
+        # decrease, so changed==0 is a fixpoint). A bounded count, unlike
+        # the previous sum(component): at 10^12 rows that sum exceeds
+        # int64 — ANSI raises ARITHMETIC_OVERFLOW mid-algorithm, and with
+        # ANSI off a wrap-coincidence could end a round early.
+        staged = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["b"], "left")
             .selectExpr(
-                "doc_id",
+                "doc_id", "component as __old",
                 "least(component, coalesce(nc, component)) as component")
             .localCheckpoint(eager=True)
         )
-        cur = labels.selectExpr("sum(component) as s").collect()[0]["s"]
-        if cur == prev_sum:
+        changed = staged.filter("component < __old").count()
+        labels = staged.drop("__old")
+        if changed == 0:
             return labels
-        prev_sum = cur
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
         "component diameter exceeds max_iter; raise it")

@@ -18,6 +18,18 @@ from __future__ import annotations
 import os
 import tempfile
 
+
+def _tmp_out(prefix: str) -> str:
+    """Per-run scratch dir for encoded copies the returned DataFrame
+    still needs lazily — removed at interpreter exit (seven of these per
+    correctness run would otherwise accumulate in /tmp forever)."""
+    import atexit
+    import shutil
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
 import numpy as np
 import pyarrow as pa
 
@@ -73,9 +85,8 @@ def q_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_rt_")
-    zenc.encode(df, out, partitions=max(
-        2, spark.sparkContext.defaultParallelism))
+    out = _tmp_out("zseq_rt_")
+    zenc.encode(df, out)  # preserve mode: split layout, partitions n/a
     back = zdec.decode(spark, out)
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
@@ -461,9 +472,7 @@ def q_codec_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zseq import column as C
 
         for b in batches:
-            arr = b.column(2)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
+            arr = b.column(2)  # RecordBatch.column is always a pa.Array
             blob = C.encode_column(arr, {}, "d")
             dec, _ = C.decode_column(memoryview(blob), 0, arr.type, len(arr))
             # decimal128 little-endian: low word IS the unscaled value for
@@ -653,7 +662,7 @@ def q_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_salt_")
+    out = _tmp_out("zseq_salt_")
     zenc.encode(df, out, mode="salted", partitions=4)
     back = zdec.decode(spark, out)
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
@@ -669,8 +678,8 @@ def q_roundtrip_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_rev_")
-    zenc.encode(df, out, partitions=4, reversed_cols=["n_tok", "source"])
+    out = _tmp_out("zseq_rev_")
+    zenc.encode(df, out, reversed_cols=["n_tok", "source"])
     back = zdec.decode(spark, out)
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
@@ -682,8 +691,8 @@ def q_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_proj_")
-    zenc.encode(df, out, partitions=4)
+    out = _tmp_out("zseq_proj_")
+    zenc.encode(df, out)
     return zdec.decode(spark, out, columns=["doc_id", "n_tok", "source"]) \
         .selectExpr("doc_id", "cast(n_tok as bigint) as n_tok", "source")
 
@@ -696,8 +705,8 @@ def q_pushdown_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .synth import HEAVY_LEN
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_pred_")
-    zenc.encode(df, out, partitions=4)
+    out = _tmp_out("zseq_pred_")
+    zenc.encode(df, out)
     dec = zdec.decode(spark, out, columns=["doc_id", "n_tok"],
                       predicate=[("n_tok", "=", HEAVY_LEN)])
     return dec.filter(f"n_tok = {HEAVY_LEN}").selectExpr(
@@ -713,8 +722,8 @@ def q_pushdown_predicate_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_predstr_")
-    zenc.encode(df, out, partitions=4)
+    out = _tmp_out("zseq_predstr_")
+    zenc.encode(df, out)
     dec = zdec.decode(spark, out, columns=["doc_id", "n_tok"],
                       predicate=[("doc_id", ">=", "doc_00000450")])
     return dec.filter("doc_id >= 'doc_00000450'").selectExpr(
@@ -745,9 +754,10 @@ def q_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import encode as zenc
 
     df = synth.tokens_df_from_documents(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="zseq_metrics_")
-    res = zenc.encode(df, out, partitions=4)
-    assert res.total_enc_bytes > 0 and len(res.parts) >= 1
+    out = _tmp_out("zseq_metrics_")
+    res = zenc.encode(df, out)
+    if not (res.total_enc_bytes > 0 and len(res.parts) >= 1):
+        raise RuntimeError("encode produced no parts/bytes")
     row = [{
         "n_rows": res.total_rows,
         "list_elems": res.total_list_elems,
