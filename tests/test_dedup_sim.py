@@ -504,8 +504,9 @@ def test_dedup_corpus_large_drop_set_shuffles(spark):
 def test_contamination_planted_and_clean(spark):
     """An eval doc sharing a long passage with train is flagged with
     n_hit > 0; an eval doc over a disjoint alphabet reports n_hit = 0
-    and contaminated False; an eval doc too short to fingerprint
-    produces no row at all."""
+    and contaminated False; an eval doc too short to fingerprint still
+    appears — with an explicit (n_fp=0, n_hit=0, contaminated=false)
+    row (the report contract is 'for each EVAL document')."""
     from zseq import textops
 
     passage = "the quick brown fox jumps over the lazy dog"
@@ -523,7 +524,8 @@ def test_contamination_planted_and_clean(spark):
     assert rows[100]["contaminated"] is True and rows[100]["n_hit"] > 0
     assert rows[100]["n_hit"] <= rows[100]["n_fp"]
     assert rows[101]["contaminated"] is False and rows[101]["n_hit"] == 0
-    assert 102 not in rows
+    assert rows[102] == {"doc_id": 102, "n_fp": 0, "n_hit": 0,
+                         "contaminated": False}
 
 
 def test_decontaminate_train_drops_overlapping_docs(spark):
@@ -569,3 +571,63 @@ def test_winnow_guarantee_and_disjointness(spark):
     assert by_doc[1] & by_doc[2]           # shared passage detected
     assert not (by_doc[1] & by_doc[3])     # unrelated: disjoint
     assert 4 not in by_doc                 # short doc: no rows
+
+
+# ---------------------------------------------------------------------------
+# md5 hash family: raw candidate sets oracle-checkable cross-engine
+# ---------------------------------------------------------------------------
+
+def _duck_with_docs(docs):
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    return con
+
+
+def test_minhash_md5_family_matches_duckdb(spark, docs):
+    """The FULL md5-family minhash pipeline (signatures -> banded
+    buckets -> candidates -> exact verification) agrees row-for-row
+    with its DuckDB oracle — the property that upgrades the raw LSH
+    driver query from rows-only to hash-green."""
+    out = sorted(
+        (r.doc_a, r.doc_b, r.i_cnt, r.u_cnt)
+        for r in dedup.minhash_dedup(
+            docs, min_num=1, min_den=2, hash_family="md5").collect())
+    con = _duck_with_docs(docs)
+    oracle = sorted(map(tuple, con.execute(
+        dedup.minhash_dedup_oracle_sql(min_num=1, min_den=2)).fetchall()))
+    assert out == oracle
+    assert any(a == 100 and b == 102 for a, b, _, _ in out)
+
+
+def test_simhash_md5_family_matches_duckdb(spark, docs):
+    """md5-family simhash under default exact-recall banding == DuckDB
+    all-pairs popcount (pigeonhole makes banding lossless)."""
+    sh = dedup.simhash(docs, hash_family="md5")
+    out = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_pairs(sh, max_hamming=7).collect())
+    con = _duck_with_docs(docs)
+    oracle = sorted(map(tuple, con.execute(
+        dedup.simhash_pairs_oracle_sql(max_hamming=7)).fetchall()))
+    assert out == oracle
+
+
+def test_md5_family_recall_on_planted(spark, docs):
+    """Recall sanity: the md5 family finds the planted identical and
+    near pairs just like xxhash64 (same banding math, different hashes)."""
+    out = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_dedup(
+               docs, min_num=1, min_den=2, hash_family="md5").collect()}
+    assert (100, 102) in out
+    assert (100, 101) in out
+    assert not any(200 in p for p in out)
+
+
+def test_unknown_hash_family_refused(spark, docs):
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.minhash_dedup(docs, hash_family="sha1")
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.simhash(docs, hash_family="murmur")

@@ -1,7 +1,7 @@
 """zseq CLI — the rebuild of the reference's entry points
 (/root/reference/zbra-cli/src/main.rs: convert/info/validate/example).
 
-    python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash]
+    python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash|salted]
                            [--zstd-level 1..22]
     python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
     python -m zseq info    ENC_DIR
@@ -105,10 +105,12 @@ def cmd_info(args) -> int:
             "epochs": len(manifests),
             # a ratio over PARTIAL sums (one epoch missing its byte
             # counters) would silently under/overstate compression —
-            # only report it when every epoch carried both counters
+            # only report it when every epoch carried both counters.
+            # Key PRESENCE, not truthiness: a legitimately committed
+            # empty epoch (counters present, value 0) is complete.
             "_bytes_complete": all(
-                e.get("totals", {}).get("raw_bytes")
-                and e.get("totals", {}).get("enc_bytes")
+                "raw_bytes" in e.get("totals", {})
+                and "enc_bytes" in e.get("totals", {})
                 for e in manifests),
         }
     col_bytes: dict[str, int] = {}
@@ -120,12 +122,14 @@ def cmd_info(args) -> int:
         "partitions": m["partitions"], "schema": m["schema_names"],
         "totals": m["totals"],
         # ratio is None (not a silently-wrong number) when byte counters
-        # are missing from any contributing manifest
+        # are missing from any contributing manifest; the division is
+        # gated separately on enc_bytes > 0 so an all-empty dataset
+        # (counters present, 0/0) reports null rather than dividing
         "ratio": (round(m["totals"]["raw_bytes"]
-                        / max(1, m["totals"]["enc_bytes"]), 3)
+                        / m["totals"]["enc_bytes"], 3)
                   if m.get("_bytes_complete", True)
-                  and m["totals"].get("raw_bytes")
-                  and m["totals"].get("enc_bytes") else None),
+                  and "raw_bytes" in m["totals"]
+                  and m["totals"].get("enc_bytes", 0) > 0 else None),
         "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
         "col_bytes": dict(sorted(col_bytes.items(),
                                  key=lambda kv: -kv[1])),
@@ -312,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("input")
     e.add_argument("out")
-    e.add_argument("--mode", choices=["files", "preserve", "hash"],
+    e.add_argument("--mode",
+                   choices=["files", "preserve", "hash", "salted"],
                    default="files")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--resume", action="store_true")

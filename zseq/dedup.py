@@ -134,15 +134,52 @@ HAVING count(*) * {min_den} >= (a.n_sh + b.n_sh - count(*)) * {min_num}
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
+#
+# Pluggable 64-bit hash family. "xxhash64" (the default) is Spark's
+# native JVM hash — the production choice (codegen, zero allocation) but
+# inexpressible in DuckDB, so pipelines built on it can only be value-
+# checked via planted corpora. "md5" derives a 60-bit non-negative
+# bigint from the first 15 hex chars of md5 — bit-identical in Spark
+# (conv(.., 16, 10)) and DuckDB (hex-literal cast), making the RAW
+# candidate sets of minhash-LSH and simhash deterministically oracle-
+# checkable. Probed cross-engine (see tests/test_dedup_sim.py): the
+# 60-bit value, arithmetic >> on negatives, bit_count over two's
+# complement, and min-long literals all agree.
+
+HASH_FAMILIES = ("xxhash64", "md5")
+
+
+def _check_family(hash_family: str) -> None:
+    if hash_family not in HASH_FAMILIES:
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}: one of {HASH_FAMILIES}")
+
+
+def _h64_spark(expr: str, seed: int, hash_family: str) -> str:
+    """Spark SQL expr: 64-bit (xxhash64) / 60-bit (md5) bigint hash."""
+    if hash_family == "xxhash64":
+        return f"xxhash64({expr}, {seed})"
+    return (f"cast(conv(substr(md5(concat({expr}, '|', {seed})), 1, 15), "
+            "16, 10) as bigint)")
+
+
+def _h64_duck(expr: str, seed: int) -> str:
+    """DuckDB twin of the md5 family (xxhash64 has no DuckDB twin)."""
+    return (f"cast(concat('0x', substr(md5(concat({expr}, '|', {seed})), "
+            "1, 15)) as bigint)")
+
 
 def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = 64,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """MinHash over word k-gram shingles: h_i(doc) = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy(min array) —
-    fully JVM-side."""
+    hash(shingle, seed=i). One explode + one groupBy(min array) —
+    fully JVM-side for either family (md5 is JVM codegen too, just a
+    wider expression)."""
+    _check_family(hash_family)
     sh = _shingle_table(df, col, k)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.expr(_h64_spark("shingle", i, hash_family))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*mins).select(
@@ -152,7 +189,8 @@ def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
                         rows_per_band: int = 4,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        hash_family: str = "xxhash64") -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Shuffle key = (band, hash(band slice)): the only join at corpus scale.
 
@@ -164,14 +202,26 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     explicit and standard: members of a dropped bucket are near-exact
     duplicate cliques, which `exact_groups` already collapses for a
     linear price — LSH only needs to find the non-identical tail."""
+    _check_family(hash_family)
+
+    def _bucket(b: int):
+        lo, n = b * rows_per_band + 1, rows_per_band
+        if hash_family == "xxhash64":
+            return F.xxhash64(F.slice("sig", lo, n))
+        # md5 family: hash the band slice serialized as comma-joined
+        # decimal digits — the exact string DuckDB's ordered string_agg
+        # rebuilds (md5-family sig values are 60-bit non-negative, so
+        # decimal rendering is sign-free in both engines).
+        slice_str = (f"array_join(transform(slice(sig, {lo}, {n}), "
+                     "x -> cast(x as string)), ',')")
+        return F.expr(_h64_spark(slice_str, 0, "md5"))
+
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.slice(
-                    "sig", b * rows_per_band + 1, rows_per_band
-                )).alias("bucket"),
+                _bucket(b).alias("bucket"),
             )
             for b in range(bands)
         ])).alias("bb"),
@@ -195,7 +245,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
                   num_hashes: int = 64, bands: int = 16,
                   min_num: int = 1, min_den: int = 5,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  hash_family: str = "xxhash64") -> DataFrame:
     """Candidates from LSH, verified by exact Jaccard — and ONLY candidate
     pairs pay verification. The corpus-scale plan is: one banded equi-join
     over the full corpus (candidate generation), then a semi-join that
@@ -210,14 +261,16 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
             f"({num_hashes}) — integer division would silently drop "
             f"{num_hashes % bands} hashes and change the recall curve")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, col, k, num_hashes)
+    sigs = minhash_signatures(df, col, k, num_hashes,
+                              hash_family=hash_family)
     # The candidate set is referenced three times below (ids twice, the
     # verification join once). Without materialization Spark re-executes
     # the full-corpus banded join per reference — localCheckpoint makes
     # it compute exactly once (its size is the LSH output: bounded by
     # bucket occupancy, tiny next to the corpus).
-    cand = lsh_candidate_pairs(sigs, bands, rows,
-                               max_bucket=max_bucket).localCheckpoint(False)
+    cand = lsh_candidate_pairs(
+        sigs, bands, rows, max_bucket=max_bucket,
+        hash_family=hash_family).localCheckpoint(False)
     # Shingle arrays only for docs that appear in some candidate pair.
     ids = (cand.selectExpr("doc_a as doc_id")
            .union(cand.selectExpr("doc_b as doc_id")).distinct())
@@ -245,23 +298,94 @@ def minhash_dedup(df: DataFrame, col: str = "text", k: int = 3,
     )
 
 
+def minhash_dedup_oracle_sql(col: str = "text", k: int = 3,
+                             num_hashes: int = 64, bands: int = 16,
+                             min_num: int = 1, min_den: int = 5) -> str:
+    """DuckDB twin of ``minhash_dedup(..., hash_family='md5')`` — the
+    FULL pipeline (signatures -> banded buckets -> candidate pairs ->
+    exact-Jaccard verification), deterministically value-checkable
+    because every hash is the shared md5-derived 60-bit family. The
+    banded bucket rebuilds Spark's serialization exactly: band-slice
+    values comma-joined in seed order (string_agg ORDER BY seed ==
+    array_join over the sig slice), then hashed with seed 0."""
+    rows = num_hashes // bands
+    _, sh_d = shingle_exprs(col, k)
+    # per-seed shingle hash: seed is the cross-joined t.i, not a literal
+    h_shingle = ("cast(concat('0x', substr(md5(concat(shingle, '|', t.i)), "
+                 "1, 15)) as bigint)")
+    bucket = _h64_duck("string_agg(cast(h as varchar), ',' ORDER BY seed)",
+                       0)
+    return f"""
+WITH sh AS (
+  SELECT cast(doc_id as bigint) as doc_id,
+         unnest(list_distinct({sh_d})) as shingle,
+         len(list_distinct({sh_d})) as n_sh
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, t.i as seed, min({h_shingle}) as h
+  FROM sh CROSS JOIN range({num_hashes}) t(i)
+  GROUP BY doc_id, t.i
+),
+band AS (
+  SELECT doc_id, seed // {rows} as band, {bucket} as bucket
+  FROM hs GROUP BY doc_id, seed // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id as doc_a, b.doc_id as doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         cast(count(*) as bigint) as i_cnt,
+         cast(a.n_sh + b.n_sh - count(*) as bigint) as u_cnt
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b, a.n_sh, b.n_sh
+)
+SELECT doc_a, doc_b, i_cnt, u_cnt FROM ver
+WHERE i_cnt * {min_den} >= u_cnt * {min_num}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, col: str = "text", bits: int = 64,
+            hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over words: per bit, the sign of the sum of
-    (+1 / -1) votes of each word's xxhash64 bit. Expressed relationally:
-    explode words -> per-bit votes via bit arithmetic -> groupBy sum."""
+    (+1 / -1) votes of each word's hash bit. Expressed relationally:
+    explode words -> per-bit votes via bit arithmetic -> groupBy sum.
+
+    The md5 family draws bits 0-59 from the low 60-bit limb (hex chars
+    1-15 of md5(word)) and bits 60-63 from the 4-bit limb (hex char 16),
+    so the full 64-bit signature is still well-defined — and DuckDB can
+    rebuild it bit-identically (see simhash_pairs_oracle_sql)."""
+    _check_family(hash_family)
     words = df.selectExpr(
         "cast(doc_id as bigint) as doc_id",
         f"explode(split(trim(coalesce({col}, '')), ' +')) as w",
-    ).withColumn("h", F.xxhash64("w"))
+    )
+    if hash_family == "xxhash64":
+        words = words.withColumn("h", F.xxhash64("w"))
+
+        def bit(i: int):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1))
+    else:
+        words = words.selectExpr(
+            "doc_id",
+            "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint) as lo",
+            "cast(conv(substr(md5(w), 16, 1), 16, 10) as bigint) as hi",
+        )
+
+        def bit(i: int):
+            src, off = ("lo", i) if i < 60 else ("hi", i - 60)
+            return F.shiftright(src, off).bitwiseAND(F.lit(1))
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = words.groupBy("doc_id").agg(*votes)
@@ -351,6 +475,54 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 7,
         .filter(F.col("hamming") <= max_hamming)
         .selectExpr("doc_a", "doc_b", "cast(hamming as bigint) as hamming")
     )
+
+
+def simhash_pairs_oracle_sql(col: str = "text",
+                             max_hamming: int = 7) -> str:
+    """DuckDB twin of ``simhash_near_pairs(simhash(df, hash_family=
+    'md5'), max_hamming)`` under the DEFAULT exact-recall banding
+    (blocks = max_hamming + 1): the pigeonhole guarantee makes the
+    banded output exactly the set of ALL pairs at Hamming distance
+    <= max_hamming, so the oracle needn't replicate the blocks at all —
+    it rebuilds each signature bit-identically (same md5 limbs, same
+    vote rule, same min-long bit-63 term) and does the all-pairs
+    popcount filter directly. Cross-engine probes backing this: DuckDB's
+    ``>>`` on BIGINT is arithmetic like Spark's shiftright, bit_count
+    counts over two's complement in both, and ``-9223372036854775807-1``
+    equals Spark's shiftleft(1L, 63)."""
+    return f"""
+WITH words AS (
+  SELECT cast(doc_id as bigint) as doc_id,
+         unnest(string_split_regex(trim(coalesce({col}, '')), ' +')) as w
+  FROM documents
+),
+hw AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(w), 1, 15)) as bigint) as lo,
+         cast(concat('0x', substr(md5(w), 16, 1)) as bigint) as hi
+  FROM words
+),
+votes AS (
+  SELECT doc_id, t.i as i,
+         sum(case when ((case when t.i < 60 then lo >> t.i
+                         else hi >> (t.i - 60) end) & 1) = 1
+             then 1 else -1 end) as v
+  FROM hw CROSS JOIN range(64) t(i)
+  GROUP BY doc_id, t.i
+),
+sig AS (
+  SELECT doc_id,
+         cast(sum(case when v > 0 then
+              (case when i = 63 then -9223372036854775807 - 1
+                    else 1::bigint << i end)
+              else 0 end) as bigint) as simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 # ---------------------------------------------------------------------------

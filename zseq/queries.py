@@ -913,10 +913,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline on the real corpus under the
+    md5 hash family, so the RAW candidate set (not just the planted-
+    corpus recall property) is value-checked against DuckDB. Production
+    default stays xxhash64; q_dedup_minhash_planted exercises it."""
     from . import dedup
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_dedup(df, min_num=1, min_den=10)
+    return dedup.minhash_dedup(df, min_num=1, min_den=10,
+                               hash_family="md5")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,8 +930,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # max_hamming=12 -> 13 blocks of ~4 bits: fine on a 500-doc corpus,
     # refused by default at scale — the explicit opt-in is the point.
-    return dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=12,
-                                    allow_wide_buckets=True)
+    # md5 family => the oracle rebuilds the signatures bit-identically
+    # (default banding is exact-recall, so all-pairs popcount == output).
+    return dedup.simhash_near_pairs(
+        dedup.simhash(df, hash_family="md5"), max_hamming=12,
+        allow_wide_buckets=True)
 
 
 def q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,10 +1180,13 @@ def oracle_sql() -> dict:
         "decontaminate_train": _decontaminate_train_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
-        # dedup_minhash_lsh / dedup_simhash on the REAL documents table:
-        # recall is probabilistic (xxhash64-based candidates) — rows-only.
-        # The same pipelines are value-checked end to end on the planted
-        # corpus below, where recall is structurally guaranteed.
+        # dedup_minhash_lsh / dedup_simhash run on the REAL documents
+        # table under the md5-derived hash family (bit-identical in
+        # Spark and DuckDB), so the raw candidate sets themselves are
+        # hash-checked; the planted queries below keep exercising the
+        # xxhash64 production default end to end.
+        "dedup_minhash_lsh": _dedup_minhash_lsh_oracle(),
+        "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_minhash_planted": _dedup_minhash_planted_oracle(),
         "dedup_simhash_planted": _dedup_simhash_planted_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
@@ -1204,6 +1215,18 @@ def _dedup_ngram_oracle() -> str:
     from . import dedup
 
     return dedup.ngram_jaccard_oracle_sql(min_num=1, min_den=10)
+
+
+def _dedup_minhash_lsh_oracle() -> str:
+    from . import dedup
+
+    return dedup.minhash_dedup_oracle_sql(min_num=1, min_den=10)
+
+
+def _dedup_simhash_oracle() -> str:
+    from . import dedup
+
+    return dedup.simhash_pairs_oracle_sql(max_hamming=12)
 
 
 def _dedup_minhash_planted_oracle() -> str:

@@ -332,16 +332,26 @@ def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
             if vecs:
                 # Element quantization mirrors the inline SQL cast
                 # (measured on this Spark, ANSI on): NaN -> 0,
-                # +/-Inf -> int64 max/min. Finite values past int64
-                # SATURATE here where ANSI would raise — strictly more
-                # graceful, same answer everywhere the inline path can
-                # answer at all (float32 embeddings stay far inside).
+                # +/-Inf -> int64 max/min. FINITE values past int64
+                # RAISE, exactly like the inline path's ANSI cast would
+                # — the two physical paths must be behaviorally
+                # identical on every input, not just on the normalized
+                # embeddings where overflow is unreachable (float32
+                # embeddings stay ~1e18 away from the edge).
                 scaled = np.floor(np.stack(vecs) * QUANT)
-                q = np.zeros(scaled.shape, dtype=np.int64)
                 finite = np.isfinite(scaled)
-                q[finite] = np.clip(
-                    scaled[finite], -9.223372036854775e18,
-                    9.223372036854774e18).astype(np.int64)
+                over = finite & ((scaled > 9.223372036854774e18)
+                                 | (scaled < -9.223372036854775e18))
+                if over.any():
+                    bad = float(scaled[over].flat[0]) / QUANT
+                    raise ValueError(
+                        "ivf probe: embedding value "
+                        f"{bad!r} overflows int64 after x{QUANT} "
+                        "quantization (the inline SQL path would raise "
+                        "under ANSI too). Normalize embeddings before "
+                        "indexing.")
+                q = np.zeros(scaled.shape, dtype=np.int64)
+                q[finite] = scaled[finite].astype(np.int64)
                 q[scaled == np.inf] = np.iinfo(np.int64).max
                 q[scaled == -np.inf] = np.iinfo(np.int64).min
                 scores = q @ mat_.T               # (batch, K) exact int64

@@ -314,7 +314,11 @@ def contamination(train_df: DataFrame, eval_df: DataFrame,
     contaminated): n_fp = the doc's distinct fingerprint count, n_hit =
     how many of those appear in train, contaminated = n_hit > 0 (the
     winnowing guarantee makes that "shares a passage of >= w + k - 1
-    chars with some training doc").
+    chars with some training doc"). EVERY eval document appears in the
+    report: docs too short to fingerprint (text < k + w - 1 chars) get
+    an explicit (n_fp=0, n_hit=0, contaminated=false) row rather than
+    silently vanishing — the eval side uses explode_outer so empty
+    fingerprint sets survive as null-fp rows counted as zero.
 
     Scale shape: both corpora collapse to fingerprint tables FIRST, so
     the joins shuffle only (id, 16-byte-hash) rows — never document
@@ -327,12 +331,20 @@ def contamination(train_df: DataFrame, eval_df: DataFrame,
 
     train_fp = winnow_fingerprints(train_df, col, k, w, id_col) \
         .select("fp").distinct()
-    eval_fp = winnow_fingerprints(eval_df, col, k, w, id_col)
+    parts = winnow_parts(col, k, w)
+    grams_s, _ = parts["grams"]
+    sel_s, _ = parts["select"]
+    # explode_outer (vs winnow_fingerprints' explode): a zero-
+    # fingerprint eval doc keeps one null-fp row so it still reports
+    eval_fp = eval_df.selectExpr(
+        f"cast({id_col} as bigint) as {id_col}",
+        f"{grams_s} as __grams",
+    ).selectExpr(id_col, f"explode_outer({sel_s}) as fp")
     marked = eval_fp.join(
         train_fp.withColumn("__hit", F.lit(1)), on="fp", how="left")
     return (
         marked.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_fp"),
+        .agg(F.count(F.col("fp")).alias("n_fp"),
              F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
         .selectExpr(
             f"cast({id_col} as bigint) as {id_col}",
@@ -378,9 +390,13 @@ WITH tsrc AS ({train_from}),
      tf AS (SELECT DISTINCT unnest(fps) as fp FROM tsel),
      eg AS (SELECT {id_col}, {grams_d} as g FROM esrc),
      esel AS (SELECT {id_col}, {sel_d} as fps FROM eg),
-     ef AS (SELECT {id_col}, unnest(fps) as fp FROM esel)
+     -- zero-fingerprint docs keep one null-fp row (Spark explode_outer)
+     ef AS (SELECT {id_col},
+                   unnest(case when len(fps) = 0
+                          then [cast(null as varchar)] else fps end) as fp
+            FROM esel)
 SELECT cast(e.{id_col} as bigint) as {id_col},
-       cast(count(*) as bigint) as n_fp,
+       cast(count(e.fp) as bigint) as n_fp,
        cast(count(t.fp) as bigint) as n_hit,
        cast(count(t.fp) > 0 as boolean) as contaminated
 FROM ef e LEFT JOIN tf t ON e.fp = t.fp
