@@ -44,12 +44,13 @@ def cmd_encode(args) -> int:
         return 1
     if args.mode == "files":
         res = zenc.encode_parquet(spark, args.input, args.out,
-                                  resume=args.resume,
+                                  resume=args.resume, append=args.append,
                                   zstd_level=args.zstd_level)
     else:
         df = spark.read.parquet(args.input)
         res = zenc.encode(df, args.out, mode=args.mode,
                           partitions=args.partitions, resume=args.resume,
+                          append=args.append,
                           zstd_level=args.zstd_level)
     print(json.dumps(res.manifest["totals"] | {"parts": len(res.parts)}))
     return 0
@@ -321,6 +322,10 @@ def main(argv: list[str] | None = None) -> int:
                    default="files")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--resume", action="store_true")
+    e.add_argument("--append", action="store_true",
+                   help="grow the committed dataset with this input as "
+                        "new parts (atomic manifest rewrite; schema "
+                        "must match exactly)")
     e.add_argument("--zstd-level", type=int, default=None,
                    help="zstd level 1-22 (reference compression.rs:14-23; "
                         "default 3)")

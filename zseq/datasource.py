@@ -418,10 +418,6 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         if not self._dir:
             raise ValueError("zseq: .save(path) is required")
         prev = read_manifest(self._dir)
-        if not overwrite and prev is not None:
-            raise ValueError(
-                "zseq: dataset already committed at this path — append is "
-                "not supported, use .mode('overwrite')")
         self._overwrite = overwrite
         self._old_files = {p["file"] for p in (prev or {}).get("parts", [])}
         # Job-unique file-name token: new parts can NEVER clobber a
@@ -437,6 +433,23 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         self._cluster = str(options.get("cluster", "true")).lower() != "false"
         self._batch_rows = int(options.get("batch_rows", 1 << 16))
         self._schema = to_arrow_schema(schema)
+        # .mode('append') reaches here as overwrite=False. Appending to
+        # a committed dataset follows the encode-module protocol: exact
+        # schema/zstd match validated UP FRONT (before any task runs),
+        # part ids offset past the committed ones, revision-CAS commit.
+        self._append_prev = None
+        self._part_base = 0
+        if not overwrite and prev is not None:
+            from .encode import check_append_compat
+
+            # the DataSource writer has no reversed_cols option, so the
+            # written parts carry none — a reversed committed dataset
+            # fails the schema-hex check (the marker lives in schema
+            # metadata) with the right message
+            check_append_compat(prev, self._schema, self._zstd, None)
+            self._append_prev = prev
+            self._part_base = 1 + max(
+                (p["part_id"] for p in prev.get("parts", [])), default=-1)
         os.makedirs(self._dir, exist_ok=True)
 
     def write(self, iterator: Iterator) -> ZseqCommit:
@@ -451,7 +464,7 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         batches = own_batches(list(iterator))
         if not batches:
             return ZseqCommit(None)
-        pid = TaskContext.get().partitionId()
+        pid = TaskContext.get().partitionId() + self._part_base
         tbl = pa.Table.from_batches(batches).combine_chunks()
         row = _encode_table_to_file(
             tbl, self._dir, pid, self._schema, self._cluster,
@@ -464,9 +477,21 @@ class ZseqSourceWriter(DataSourceArrowWriter):
 
         parts = [m.part for m in messages if m is not None and m.part]
         parts.sort(key=lambda p: p["part_id"])
+        if self._append_prev is not None:
+            from .encode import append_commit
+
+            append_commit(self._dir, self._append_prev, parts,
+                          self._schema, self._zstd, None, self._token)
+            return
+        prev_rev = 0
+        if self._old_files:  # a committed manifest is being replaced
+            from .encode import read_manifest
+
+            prev_rev = (read_manifest(self._dir) or {}).get("revision", 1)
         manifest = build_manifest(
             mode="datasource", partitions=len(parts),
-            arrow_schema=self._schema, parts=parts, zstd_level=self._zstd)
+            arrow_schema=self._schema, parts=parts, zstd_level=self._zstd,
+            extra={"revision": prev_rev + 1})
         # The manifest swap IS the commit; only then GC the files this
         # job is entitled to delete (the superseded manifest's parts and
         # our own token-named leftovers — never a concurrent writer's or

@@ -427,11 +427,13 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
 
 def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
                       batch_rows: int, zstd_level: int | None = None,
-                      token: str | None = None):
+                      token: str | None = None, part_base: int = 0):
     def fn(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        # part_base offsets appended parts past the committed ids so the
+        # in-file header metadata, file name, and manifest all agree
+        pid = TaskContext.get().partitionId() + part_base
         t0 = time.time()
         got = list(batches)
         if not got:
@@ -488,6 +490,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
            cluster: bool = True, batch_rows: int = 1 << 16,
            partition_col: str | None = None,
            resume: bool = False,
+           append: bool = False,
            zstd_level: int | None = None,
            reversed_cols: list[str] | None = None) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` as .zseq blobs + manifest.json.
@@ -517,6 +520,15 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     ``resume``: skip partitions already committed in an existing manifest
     (hash mode only).
 
+    ``append``: grow a committed dataset instead of replacing it — new
+    parts are staged under a fresh job token, then the manifest is
+    atomically rewritten as old parts + new parts (revision CAS; see
+    :func:`append_commit`). The appended data's schema / zstd level /
+    reversed set must match the committed manifest exactly. Appending to
+    a path with no committed manifest degrades to a fresh encode. The
+    resulting manifest's mode is ``append`` (no bucketing claim survives
+    an append, so ``resume`` refuses appended datasets).
+
     ``zstd_level``: zstd compression level 1-22 applied inside every
     encode worker (reference compression.rs:14-23; default 3). Recorded
     in the manifest; decode never needs it (zstd frames self-describe).
@@ -536,11 +548,21 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
             "resume requires mode='hash' (preserve-mode split ids are not "
             "stable across plan changes)"
         )
+    if append and resume:
+        raise ValueError(
+            "append and resume are mutually exclusive: resume finishes a "
+            "crashed job over the SAME data; append adds NEW data")
     P = partitions or spark.sparkContext.defaultParallelism
     key = partition_col or df.columns[0]
     os.makedirs(out_dir, exist_ok=True)
 
     prev = read_manifest(out_dir)
+    if resume and prev is not None and prev.get("mode") == "append":
+        raise ValueError(
+            "resume cannot target an appended dataset — hash-bucket "
+            "determinism no longer spans the whole part set; append new "
+            "data with append=True or re-encode fresh")
+    append_prev = prev if (append and prev is not None) else None
     old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
     if resume:
@@ -572,6 +594,13 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
             "the committed manifest's — reused parts would contradict "
             "the new manifest and every read would fail; encode fresh "
             "(resume=False) or restore the original schema")
+    part_base = 0
+    if append_prev is not None:
+        check_append_compat(append_prev, arrow_schema, zstd_level,
+                            reversed_cols)
+        part_base = 1 + max(
+            (p["part_id"] for p in append_prev.get("parts", [])),
+            default=-1)
     # Map columns cross the JVM->Python boundary as entries arrays (see
     # strip_maps_df) and are rebuilt to true maps inside the worker; the
     # committed schema/format is the original, map-typed one.
@@ -600,22 +629,97 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     token = uuid.uuid4().hex[:8]
     if run:
         fn = _encode_partition(out_dir, arrow_schema, cluster, batch_rows,
-                               zstd_level, token)
+                               zstd_level, token, part_base=part_base)
         metrics = work.mapInArrow(fn, METRICS_SCHEMA)
         parts = [r.asDict() for r in metrics.collect()]
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
 
+    if append_prev is not None:
+        manifest = append_commit(out_dir, append_prev, parts, arrow_schema,
+                                 zstd_level, reversed_cols, token)
+        return EncodeResult(out_dir, manifest, manifest["parts"])
     manifest = build_manifest(
         mode=mode, partitions=P if mode == "hash" else len(parts),
         arrow_schema=arrow_schema, parts=parts,
         # preserve mode did not partition by any column — recording the
         # defaulted key would claim a bucketing that never happened
         partition_col=key if mode in ("hash", "salted") else None,
-        zstd_level=zstd_level, reversed_cols=reversed_cols)
+        zstd_level=zstd_level, reversed_cols=reversed_cols,
+        # monotone manifest revision: missing == 1 (any committed
+        # manifest is at least its first revision) — the append CAS
+        # compares this plus the part set
+        extra={"revision": (prev.get("revision", 1) + 1) if prev else 1})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
+
+
+def check_append_compat(prev: dict, arrow_schema: pa.Schema,
+                        zstd_level: int | None,
+                        reversed_cols: list[str] | None) -> None:
+    """Appended parts must be indistinguishable from the committed ones:
+    exact schema (byte-equal Arrow serialization, including reversed-
+    marker metadata), same zstd level (the manifest records ONE level
+    for every part), same reversed set. Widening readers are a DECODE
+    feature (schema evolution) — writes never mix schemas."""
+    if prev.get("schema") != arrow_schema.serialize().to_pybytes().hex():
+        raise ValueError(
+            "append: dataframe schema differs from the committed "
+            "manifest's — appended parts must match the dataset schema "
+            "exactly (schema evolution is a read-side feature; writes "
+            "never mix schemas)")
+    prev_lvl = prev.get("zstd_level", 3)
+    if (zstd_level or 3) != prev_lvl:
+        raise ValueError(
+            f"append: zstd_level {zstd_level or 3} differs from the "
+            f"committed manifest's {prev_lvl} — the manifest records one "
+            f"level for all parts; pass zstd_level={prev_lvl}")
+    if (reversed_cols or []) != prev.get("reversed_cols", []):
+        raise ValueError(
+            "append: reversed_cols differ from the committed manifest's "
+            f"{prev.get('reversed_cols', [])}")
+
+
+def append_commit(out_dir: str, prev: dict, new_parts: list[dict],
+                  arrow_schema: pa.Schema, zstd_level: int | None,
+                  reversed_cols: list[str] | None, token: str,
+                  extra: dict | None = None) -> dict:
+    """The append commit point: atomically rewrite the manifest as
+    old parts + new parts, guarded by a revision compare-and-swap.
+
+    The guard re-reads the manifest immediately before the swap and
+    refuses if its revision (or part set) moved since this append read
+    it — a concurrent overwrite/append won the race and committing on
+    top of it would resurrect parts that writer superseded (or drop its
+    appends). The check-then-rename window is not a true CAS across
+    hosts, but on one filesystem it reduces the race to microseconds vs
+    the minutes an encode runs; losers' staged parts are token-named
+    orphans that vacuum() sweeps after the age gate — never a data-loss,
+    by the same argument as crashed overwrites. Old files are NEVER
+    GC'd on append (they are still referenced); only this job's own
+    tmp leftovers are."""
+    cur = read_manifest(out_dir)
+    if cur is None or cur.get("revision", 1) != prev.get("revision", 1) \
+            or {p["file"] for p in cur.get("parts", [])} \
+            != {p["file"] for p in prev.get("parts", [])}:
+        raise RuntimeError(
+            "append: the dataset's manifest changed while this append "
+            "ran (a concurrent overwrite or append committed first) — "
+            "refusing to commit on top of it. This job's staged parts "
+            "are token-named orphans; vacuum() removes them after the "
+            "age gate.")
+    all_parts = prev.get("parts", []) + new_parts
+    manifest = build_manifest(
+        mode="append", partitions=len(all_parts),
+        arrow_schema=arrow_schema, parts=all_parts,
+        zstd_level=zstd_level, reversed_cols=reversed_cols,
+        extra={**(extra or {}),
+               "revision": prev.get("revision", 1) + 1,
+               "appends": prev.get("appends", 0) + 1})
+    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    gc_unreferenced(out_dir, {p["file"] for p in all_parts}, set(), token)
+    return manifest
 
 
 def _check_resume_zstd(prev: dict, zstd_level: int | None) -> None:
@@ -729,6 +833,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
                    cluster: bool = True, batch_rows: int = 1 << 16,
                    columns: list[str] | None = None,
                    resume: bool = False,
+                   append: bool = False,
                    zstd_level: int | None = None,
                    reversed_cols: list[str] | None = None) -> EncodeResult:
     """Parquet -> .zseq fast path: workers read parquet files directly
@@ -742,10 +847,19 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     input file maps 1:1 to an output part (part id = index in the sorted
     file list), which makes resume exact and idempotent regardless of
     Spark scheduling.
+
+    ``append=True`` encodes ``input_dir``'s files as NEW parts on top of
+    the committed dataset (same protocol as :func:`encode`'s append:
+    token-staged parts, revision-CAS manifest rewrite, exact schema
+    match required).
     """
     from .session import ship_package
 
     ship_package(spark)
+    if append and resume:
+        raise ValueError(
+            "append and resume are mutually exclusive: resume finishes a "
+            "crashed job over the SAME files; append adds NEW files")
     files = sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)
         if f.endswith(".parquet")
@@ -755,6 +869,12 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
 
     prev = read_manifest(out_dir)
+    if resume and prev is not None and prev.get("mode") == "append":
+        raise ValueError(
+            "resume cannot target an appended dataset (input_files no "
+            "longer describes the whole part set); append new data with "
+            "append=True or re-encode fresh")
+    append_prev = prev if (append and prev is not None) else None
     old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
     if resume:
@@ -769,8 +889,13 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
                 if os.path.exists(os.path.join(out_dir, p["file"])):
                     done_parts[p["part_id"]] = p
 
+    part_base = 0
+    if append_prev is not None:
+        part_base = 1 + max(
+            (p["part_id"] for p in append_prev.get("parts", [])),
+            default=-1)
     todo = [
-        {"part_id": i, "path": f} for i, f in enumerate(files)
+        {"part_id": i + part_base, "path": f} for i, f in enumerate(files)
         if i not in done_parts
     ]
     import pyarrow.parquet as pq
@@ -835,6 +960,9 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
             "from the committed manifest's — reused parts would "
             "contradict the new manifest; encode fresh (resume=False) "
             "or restore the original projection")
+    if append_prev is not None:
+        check_append_compat(append_prev, arrow_schema, zstd_level,
+                            reversed_cols)
     parts: list[dict] = []
     import uuid
 
@@ -852,10 +980,18 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
                  .collect()]
     parts.extend(done_parts.values())
     parts.sort(key=lambda p: p["part_id"])
+    if append_prev is not None:
+        manifest = append_commit(
+            out_dir, append_prev, parts, arrow_schema, zstd_level,
+            reversed_cols, token,
+            extra={"input_files":
+                   append_prev.get("input_files", []) + files})
+        return EncodeResult(out_dir, manifest, manifest["parts"])
     manifest = build_manifest(
         mode="files", partitions=len(files), arrow_schema=arrow_schema,
         parts=parts, zstd_level=zstd_level, reversed_cols=reversed_cols,
-        extra={"input_files": files})
+        extra={"input_files": files,
+               "revision": (prev.get("revision", 1) + 1) if prev else 1})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)

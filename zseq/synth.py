@@ -193,12 +193,15 @@ def tokens_duckdb_sql(table: str = "documents") -> str:
     )
 
 
-def tokens_df_range(spark, n_docs: int, partitions: int | None = None):
-    """Self-contained Spark tokens table over spark.range (bench scale)."""
-    _check_id_range(0, n_docs)
+def tokens_df_range(spark, n_docs: int, partitions: int | None = None,
+                    start: int = 0):
+    """Self-contained Spark tokens table over spark.range (bench scale).
+    ``start`` offsets the id range — disjoint slices of the same fixture
+    for append/merge tests."""
+    _check_id_range(start, n_docs)
     frags = tokens_sql_spark("id")
-    rng = spark.range(0, n_docs, 1, partitions) if partitions \
-        else spark.range(n_docs)
+    rng = spark.range(start, start + n_docs, 1, partitions) if partitions \
+        else spark.range(start, start + n_docs)
     return rng.selectExpr(
         f"{frags['doc_id']} as doc_id",
         f"{frags['tokens']} as tokens",
