@@ -152,7 +152,11 @@ class ZseqDataSource(DataSource):
         return from_arrow_schema(schema)
 
     def reader(self, schema: StructType) -> "ZseqSourceReader":
-        return ZseqSourceReader(dict(self.options))
+        # schema is DataSource.schema()'s result (possibly projected by
+        # the columns option) OR a user-supplied .schema(...) — the
+        # reader treats a superset as read-side evolution (new nullable
+        # columns filled with L6 defaults) and a subset as projection.
+        return ZseqSourceReader(dict(self.options), schema)
 
     def writer(self, schema: StructType,
                overwrite: bool) -> "ZseqSourceWriter":
@@ -185,7 +189,7 @@ def _read_verified_blob(path: str, crc32: int | None):
 
 
 class ZseqSourceReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         from .encode import read_manifest
 
         self._dir = options.get("path")
@@ -211,6 +215,33 @@ class ZseqSourceReader(DataSourceReader):
         cols = options.get("columns")
         self._columns = ([c.strip() for c in cols.split(",") if c.strip()]
                          if cols else None)
+        # Reconcile the Spark-provided read schema with the written one.
+        # Identical -> fast path (emit decoded batches as-is). A subset
+        # is projection; extra nullable fields are read-side EVOLUTION
+        # (filled with L6 defaults per batch); a reorder is honored.
+        # Type changes / non-nullable new fields are refused up front.
+        self._emit = None
+        if schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from .decode import evolution_fields
+
+            reader_arrow = to_arrow_schema(schema)
+            written_arrow = _arrow_schema_from_manifest(m)
+            extra = evolution_fields(written_arrow, reader_arrow,
+                                     allow_subset=True)
+            rnames = list(reader_arrow.names)
+            if rnames != self._names:
+                present = [n for n in rnames if n in set(self._names)]
+                in_written_order = [n for n in self._names
+                                    if n in set(rnames)]
+                if not extra and present == in_written_order:
+                    # pure projection in written order: the decoded
+                    # batches already match — no per-batch rebuild
+                    self._columns = present
+                else:
+                    self._columns = present or [self._names[0]]
+                    self._emit = reader_arrow
         # Size each part from the manifest; a manifest written without
         # enc_bytes (older revision / foreign writer) would otherwise
         # make every part weigh 0 and pack the whole dataset into ONE
@@ -403,7 +434,14 @@ class ZseqSourceReader(DataSourceReader):
                 raise ValueError(
                     f"{path}: schema {r.schema.names} != manifest "
                     f"{self._names}")
-            yield from r.batches(self._columns, self._predicate or None)
+            if self._emit is None:
+                yield from r.batches(self._columns,
+                                     self._predicate or None)
+            else:
+                from .decode import evolve_batch
+
+                for b in r.batches(self._columns, self._predicate or None):
+                    yield evolve_batch(b, self._emit)
 
 
 class ZseqSourceWriter(DataSourceArrowWriter):

@@ -20,6 +20,83 @@ from .encode import read_manifest
 from .zseqfile import ZseqReader
 
 
+def evolution_fields(written: pa.Schema, reader: pa.Schema,
+                     allow_subset: bool = False) -> list[pa.Field]:
+    """Validate a reader schema against the written one for read-side
+    schema evolution (the reference's serde-default evolution,
+    docs/schema.md:299-459): the reader may ADD nullable columns (filled
+    with L6 defaults on read) but may not change a written column's type
+    or — unless ``allow_subset`` (the DataSource's projection path) —
+    drop one (projection is ``columns=``, not a narrower schema).
+    Returns the new fields in reader order."""
+    new: list[pa.Field] = []
+    written_names = set(written.names)
+    for f in reader:
+        if f.name in written_names:
+            wt = written.field(f.name).type
+            if not f.type.equals(wt):
+                raise ValueError(
+                    f"schema evolution: column {f.name!r} type "
+                    f"{f.type} != written {wt} — type changes are not "
+                    "supported (decode, then cast)")
+        else:
+            if not f.nullable:
+                raise ValueError(
+                    f"schema evolution: new column {f.name!r} must be "
+                    "nullable — the written rows have no value for it "
+                    "beyond the schema default")
+            new.append(f)
+    missing = written_names - set(reader.names)
+    if missing and not allow_subset:
+        raise ValueError(
+            f"schema evolution: reader schema drops written column(s) "
+            f"{sorted(missing)} — narrowing is not evolution; project "
+            "with columns=[...] instead")
+    return new
+
+
+def _arrow_default(t: pa.DataType):
+    """L6 default_for (zseq/schema.py:218) in the Arrow type domain:
+    ints 0, floats 0.0, string '', binary b'', bool false, list [] —
+    None (null) for types with no zero-value (struct/map/decimal/
+    temporal, matching default_for exactly)."""
+    if pa.types.is_integer(t):
+        return 0
+    if pa.types.is_floating(t):
+        return 0.0
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return []
+    return None
+
+
+def default_array(t: pa.DataType, n: int) -> pa.Array:
+    """n copies of the L6 default as an Arrow array."""
+    d = _arrow_default(t)
+    if d is None:
+        return pa.nulls(n, t)
+    return pa.repeat(pa.scalar(d, type=t), n)
+
+
+def evolve_batch(batch: pa.RecordBatch,
+                 reader_schema: pa.Schema) -> pa.RecordBatch:
+    """Reorder a decoded batch to the reader schema, synthesizing the
+    new columns as L6-default constants."""
+    present = {name: batch.column(i)
+               for i, name in enumerate(batch.schema.names)}
+    arrays = [
+        present[f.name] if f.name in present
+        else default_array(f.type, batch.num_rows)
+        for f in reader_schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=reader_schema)
+
+
 def _crc_keys(path: str) -> tuple[str, ...]:
     """Manifest-crc lookup keys: the last two path components
     ("<dataset-or-epoch-dir>/<part file>"). Basename alone is ambiguous
@@ -98,7 +175,8 @@ def _df_from_parts(spark: SparkSession, paths: list[str],
 def decode(spark: SparkSession, out_dir: str,
             allow_partial: bool = False,
             columns: list[str] | None = None,
-            predicate: list[tuple] | None = None) -> DataFrame:
+            predicate: list[tuple] | None = None,
+            schema=None) -> DataFrame:
     """Read an encoded dataset back as a DataFrame.
 
     ``columns`` -> projection pushdown into the blob reader (unrequested
@@ -106,10 +184,22 @@ def decode(spark: SparkSession, out_dir: str,
     conjunction of (col, op, value) pruned against per-block zone
     maps (int storage values for int-kind columns, str/bytes for binary
     columns); surviving blocks may still hold non-matching rows, so
-    compose with a normal ``.filter`` for exact semantics."""
+    compose with a normal ``.filter`` for exact semantics.
+
+    ``schema`` -> read-side schema EVOLUTION (pyarrow.Schema or Spark
+    StructType): a superset of the written schema whose new nullable
+    columns are filled with L6 defaults (ints 0, strings '', arrays [],
+    null for types without a zero-value) — the reference's serde-default
+    evolution (docs/schema.md:299-459) for long-lived datasets that grew
+    columns. Type changes and dropped columns are refused (project with
+    ``columns``; cast after decode). The fill is a constant JVM-side
+    projection — zero decode cost, zero Python."""
     from .session import ship_package
 
     ship_package(spark)
+    if schema is not None:
+        return _decode_evolved(spark, out_dir, schema, allow_partial,
+                               columns, predicate)
     manifest = read_manifest(out_dir)
     if manifest is None and not allow_partial:
         raise FileNotFoundError(
@@ -159,3 +249,69 @@ def decode(spark: SparkSession, out_dir: str,
             for p in manifest.get("parts", [])}
     return _df_from_parts(spark, paths, crcs, schema, names,
                           columns, predicate)
+
+
+def _decode_evolved(spark: SparkSession, out_dir: str, schema,
+                    allow_partial: bool, columns: list[str] | None,
+                    predicate: list[tuple] | None) -> DataFrame:
+    """decode() with a reader schema: decode the written columns as
+    usual, then project to the reader schema with constant L6 defaults
+    for the new columns — all inside one JVM-side select (Catalyst
+    folds the literals; nothing extra crosses the Python boundary)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import (from_arrow_schema,
+                                          to_arrow_schema)
+
+    from .schema import default_for
+
+    if isinstance(schema, T.StructType):
+        reader_arrow = to_arrow_schema(schema)
+        reader_struct = schema
+    elif isinstance(schema, pa.Schema):
+        reader_arrow = schema
+        reader_struct = from_arrow_schema(schema)
+    else:
+        raise TypeError(
+            f"decode schema must be a pyarrow.Schema or Spark "
+            f"StructType, got {type(schema).__name__}")
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"{out_dir}/manifest.json missing — schema evolution needs "
+            "the committed schema to validate against"
+            + (" (allow_partial reads cannot evolve)"
+               if allow_partial else ""))
+    written = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(manifest["schema"])))
+    new_fields = evolution_fields(written, reader_arrow)
+    new_names = {f.name for f in new_fields}
+    if columns is not None:
+        missing = set(columns) - set(reader_arrow.names)
+        if missing:
+            raise KeyError(f"zseq: unknown columns {sorted(missing)}")
+    read_cols = None
+    if columns is not None:
+        read_cols = [c for c in columns if c not in new_names]
+        if not read_cols:
+            # all requested columns are new: still read ONE written
+            # column so the row count is real; the final select drops it
+            read_cols = [written.names[0]]
+    base = decode(spark, out_dir, columns=read_cols, predicate=predicate)
+    out = base
+    for f in reader_struct.fields:
+        if f.name not in new_names:
+            continue
+        if columns is not None and f.name not in set(columns):
+            continue
+        d = default_for(f.dataType)
+        if isinstance(f.dataType, T.ArrayType):
+            col = F.array().cast(f.dataType)
+        elif d is None:
+            col = F.lit(None).cast(f.dataType)
+        else:
+            col = F.lit(d).cast(f.dataType)
+        out = out.withColumn(f.name, col)
+    order = [f.name for f in reader_struct.fields] if columns is None \
+        else list(columns)
+    return out.select(order)
