@@ -631,3 +631,76 @@ def test_unknown_hash_family_refused(spark, docs):
         dedup.minhash_dedup(docs, hash_family="sha1")
     with pytest.raises(ValueError, match="hash_family"):
         dedup.simhash(docs, hash_family="murmur")
+
+
+# ---------------------------------------------------------------------------
+# IVF trained quantizer: deterministic integer k-means refinement
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """8 well-separated clusters INTERLEAVED across ids (cluster = id %
+    8), so the modular pick c_mod=40 lands every init centroid in
+    cluster 0 — the adversarial-for-modular regime k-means exists for.
+    Deterministic (fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + 0.15 * rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_kmeans_quantizer_beats_modular_on_clusters(spark, clustered_vecs):
+    """The recall gate VERDICT asked for: on a clustered corpus whose
+    modular init is degenerate (all centroids in one cluster), the
+    integer-Lloyd refinement must strictly improve recall vs brute
+    force at the same (c_mod, nprobe). Measured deterministic values:
+    modular 0.88, kmeans 1.0."""
+    bf = {(r.query_id, r.neighbor_id) for r in sim.brute_force_topk(
+        clustered_vecs, n_queries=5, topk=5).collect()}
+
+    def recall(q):
+        got = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(
+            clustered_vecs, 16, n_queries=5, topk=5, c_mod=40, nprobe=2,
+            quantizer=q).collect()}
+        return len(got & bf) / len(bf)
+
+    r_mod, r_km = recall("modular"), recall("kmeans")
+    assert r_km > r_mod, (r_km, r_mod)
+    assert r_km >= 0.95, r_km
+
+
+def test_kmeans_refine_is_deterministic(spark, clustered_vecs):
+    """All-int Lloyd: two runs (fresh jobs, arbitrary scheduling) yield
+    bit-identical centroids."""
+    base = clustered_vecs.selectExpr(
+        "cast(vec_id as bigint) as vec_id", "embedding")
+    init = sim._ivf_centroids(clustered_vecs, 40, "vec_id",
+                              "embedding", 16)
+    c1 = sim._kmeans_refine(base, init, 16, "embedding", iters=5)
+    c2 = sim._kmeans_refine(base, init, 16, "embedding", iters=5)
+    assert c1 == c2
+    assert c1 != init  # it actually moved
+
+
+def test_kmeans_full_probe_still_exact(spark, clustered_vecs):
+    """Probing every cell is exhaustive regardless of quantizer — the
+    cell assignment is a partition of the corpus either way."""
+    k = clustered_vecs.filter("vec_id % 40 = 0").count()
+    ivf = sim.ivf_topk(clustered_vecs, 16, n_queries=3, topk=5,
+                       c_mod=40, nprobe=k, quantizer="kmeans")
+    bf = sim.brute_force_topk(clustered_vecs, n_queries=3, topk=5)
+    assert sorted(map(tuple, ivf.collect())) == \
+        sorted(map(tuple, bf.collect()))
+
+
+def test_unknown_quantizer_refused(spark, clustered_vecs):
+    with pytest.raises(ValueError, match="quantizer"):
+        sim.ivf_topk(clustered_vecs, 16, quantizer="pq")

@@ -291,6 +291,66 @@ def _ivf_centroids(df: DataFrame, c_mod: int, id_col: str,
     return out
 
 
+def _kmeans_refine(base: DataFrame, cents: list[tuple[int, list[int]]],
+                   dim: int, vec_col: str, iters: int = 5,
+                   inline_cap: int = IVF_MAX_INLINE_TERMS
+                   ) -> list[tuple[int, list[int]]]:
+    """Deterministic integer Lloyd refinement of the modular init:
+    ``iters`` fixed rounds of (assign every row to its argmax-dot cell,
+    ties to the smaller cid) -> (new centroid = floor of the component-
+    wise integer mean of its members' QUANT-quantized vectors). All
+    arithmetic is int64 — sums are associative/commutative EXACTLY, so
+    the result is independent of Spark partitioning/scheduling and a
+    rerun reproduces it bit-for-bit (the reason this is Lloyd-over-ints
+    and not float k-means). Cell labels keep the init's cids; a cell
+    that goes empty keeps its previous centroid (standard Lloyd).
+
+    Cost: per round, one corpus scan for assignment (the same inline-
+    codegen / broadcast-matrix split the query path uses) plus one
+    map-side-combined aggregation whose shuffle is K*dim partial sums —
+    bounded by the same IVF_MAX_MATRIX_TERMS cap as the quantizer
+    itself, never corpus-sized."""
+    qcols = [
+        f"cast(floor(cast({vec_col}[{i}] as double) * {QUANT}) as bigint)"
+        f" as q{i}"
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        if len(cents) * dim <= inline_cap:
+            cells = _ivf_cell_structs(vec_col, cents)
+            assigned = base.selectExpr(
+                vec_col,
+                f"case when {vec_col} is null then null "
+                f"else -array_max({cells}).negc end as cid",
+            ).filter("cid is not null")
+        else:
+            (assign1,) = _ivf_probe_udfs(base, cents, [1])
+            assigned = base.withColumn(
+                "cid", F.element_at(assign1(F.col(vec_col)), 1)
+            ).filter("cid is not null")
+        stats = (
+            assigned.selectExpr("cid", *qcols)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"),
+                 *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cid = {int(r["cid"]): r for r in stats}
+        new: list[tuple[int, list[int]]] = []
+        for cid, q in cents:
+            r = by_cid.get(cid)
+            if r is None or not r["n"]:
+                new.append((cid, q))
+            else:
+                n = int(r["n"])
+                # python floor division == floor for negatives too —
+                # matches the floor-quantization convention everywhere
+                new.append((cid, [int(r[f"s{i}"]) // n
+                                  for i in range(dim)]))
+        cents = new
+    return cents
+
+
 def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
                     ns: list[int]):
     """Vectorized (Arrow-batched) cell probers for quantizers too large
@@ -394,7 +454,9 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
              c_mod: int | None = 50, nprobe: int = 2,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
-             max_inline_terms: int | None = None) -> DataFrame:
+             max_inline_terms: int | None = None,
+             quantizer: str = "modular",
+             kmeans_iters: int = 5) -> DataFrame:
     """IVF ANN: every corpus row is assigned to its nearest centroid's
     cell (argmax quantized dot, ties to the smaller cid); a query probes
     its ``nprobe`` best cells and is reranked exactly against only those
@@ -413,11 +475,22 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
     Only the n_queries QUERY rows pay the top-nprobe sort. The probe
     join broadcasts (n_queries x nprobe) rows; one shuffle for the
     per-query rank window. Probing all cells (nprobe >= centroid count)
-    degenerates to exact brute force — the recall knob is explicit."""
+    degenerates to exact brute force — the recall knob is explicit.
+
+    ``quantizer='kmeans'`` refines the modular pick with ``kmeans_iters``
+    deterministic integer Lloyd rounds (:func:`_kmeans_refine`) — better
+    recall / cell balance on CLUSTERED embeddings, identical determinism
+    (all-int arithmetic; a rerun is bit-exact). The default stays
+    'modular': reproducible without extra corpus scans, and the standard
+    random-ish init on normalized corpora."""
     import math
 
     from pyspark.sql import Window
 
+    if quantizer not in ("modular", "kmeans"):
+        raise ValueError(
+            f"ivf: unknown quantizer {quantizer!r} "
+            "(one of 'modular', 'kmeans')")
     if c_mod is None:
         n = df.count()
         # K = N / c_mod ~ sqrt(N)  =>  c_mod ~ sqrt(N)
@@ -438,6 +511,9 @@ def ivf_topk(df: DataFrame, dim: int, n_queries: int = 10, topk: int = 5,
         f"else {vec_col} end as {vec_col}")
     inline_cap = (IVF_MAX_INLINE_TERMS if max_inline_terms is None
                   else max_inline_terms)
+    if quantizer == "kmeans":
+        cents = _kmeans_refine(base, cents, dim, vec_col,
+                               iters=kmeans_iters, inline_cap=inline_cap)
     if len(cents) * dim <= inline_cap:
         cells = _ivf_cell_structs(vec_col, cents)
         # null vectors get a NULL cid / NULL probe list (they'd
