@@ -145,8 +145,9 @@ def test_decimal_roundtrip():
                      Decimal(0)],
                     type=pa.decimal128(38, 0))
     assert rt(wide).to_pylist() == wide.to_pylist()
-    with pytest.raises(NotImplementedError, match="decimal128"):
-        C.encode_column(pa.array([Decimal("1")], type=pa.decimal256(50, 0)))
+    # precision > 38 takes the four-limb decimal256 layout
+    huge = pa.array([Decimal("1")], type=pa.decimal256(50, 0))
+    assert rt(huge).to_pylist() == huge.to_pylist()
 
 
 def test_spark_struct_map_decimal_roundtrip_via_file():
@@ -446,4 +447,137 @@ def test_decimal38_null_slot_garbage_deterministic_and_zone_exact():
     r2 = ZseqReader(buf)
     out2 = pa.Table.from_batches(
         list(r2.batches(predicate=[("d", ">=", 7)])), schema=r2.schema)
+    assert r2.blocks_read == 1 and out2.num_rows == 3
+
+
+# ---------------------------------------------------------------------------
+# decimal256: four-limb layout (precision 39-76)
+# ---------------------------------------------------------------------------
+
+def test_decimal256_roundtrip_and_boundaries():
+    import decimal
+    from decimal import Decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 90
+        vals = [Decimal(10) ** 24, None, -(Decimal(10) ** 24),
+                Decimal("9" * 76), Decimal("-" + "9" * 76),
+                Decimal(0), Decimal(2) ** 63, Decimal(2) ** 127,
+                Decimal(2) ** 191, -(Decimal(2) ** 191) - 1]
+        arr = pa.array(vals, type=pa.decimal256(76, 0))
+        assert rt(arr).to_pylist() == arr.to_pylist()
+        scaled = pa.array([None if v is None else v.scaleb(-4)
+                           for v in vals], type=pa.decimal256(76, 4))
+        assert rt(scaled).to_pylist() == scaled.to_pylist()
+
+
+def test_decimal256_low_precision_refused():
+    from decimal import Decimal
+
+    with pytest.raises(ValueError, match="fits decimal128"):
+        C.encode_column(pa.array([Decimal("1")], type=pa.decimal256(20, 0)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(
+    hst.one_of(hst.none(),
+               hst.integers(-(10 ** 76) + 1, 10 ** 76 - 1),
+               # limb boundaries: hi flips between sign extension and
+               # a real higher limb at 2^63 / 2^127 / 2^191
+               hst.integers(2 ** 63 - 3, 2 ** 63 + 3),
+               hst.integers(-(2 ** 127) - 3, -(2 ** 127) + 3),
+               hst.integers(2 ** 191 - 3, 2 ** 191 + 3)),
+    max_size=30,
+))
+def test_decimal256_four_limb_roundtrip_property(ints):
+    import decimal
+    from decimal import Decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 90
+        for scale in (0, 6):
+            rows = [None if v is None else Decimal(v).scaleb(-scale)
+                    for v in ints]
+            arr = pa.array(rows, type=pa.decimal256(76, scale))
+            assert rt(arr).to_pylist() == arr.to_pylist()
+
+
+def test_decimal256_sign_extension_is_cheap():
+    """Small values in a decimal256 column cost barely more than in a
+    decimal128 one: limbs l1-l3 are constant sign extension and the
+    int pipeline collapses them."""
+    from decimal import Decimal
+
+    vals = [Decimal(i * 97 - 5000) / 100 for i in range(5000)]
+    narrow = C.encode_column(pa.array(vals, type=pa.decimal128(18, 2)))
+    wide = C.encode_column(pa.array(vals, type=pa.decimal256(76, 2)))
+    # measured: the three sign-extension limbs cost ~48 B of fixed
+    # segment overhead each on a 5000-row chunk (40 KB of raw limb
+    # data each) — constant per chunk, not per row
+    assert len(wide) - len(narrow) < 256, (len(narrow), len(wide))
+
+
+def test_decimal256_null_garbage_deterministic_and_zone_exact():
+    """Four-limb chunks: encoded bytes independent of garbage under null
+    slots; zone bounds exact over valid rows and pruned by predicates
+    whose literals exceed int64 (pure-python zone comparisons)."""
+    import decimal
+
+    from zseq import zseqfile
+    from zseq.zseqfile import ZseqReader
+
+    t = pa.decimal256(76, 0)
+    big = (123 << 192) + (45 << 128) + (6 << 64) + 7
+
+    def limbs(v):
+        u = v & (2 ** 256 - 1)
+        return [(u >> (64 * i)) & (2 ** 64 - 1) for i in range(4)]
+
+    def s64(u):
+        return u - 2 ** 64 if u >= 2 ** 63 else u
+
+    def make(garbage):
+        vals = np.zeros(12, dtype=np.int64)
+        vals[0:4] = [s64(x) for x in limbs(big)]
+        vals[4:8] = [s64(x) for x in limbs(garbage)]   # null slot
+        vals[8:12] = [s64(x) for x in limbs(7)]
+        validity = pa.array([True, False, True]).buffers()[1]
+        return pa.Array.from_buffers(
+            t, 3, [validity, pa.py_buffer(vals.tobytes())])
+
+    a, b = make(0), make((2 ** 255) - 12345)
+    assert C.encode_column(a, {}, "d") == C.encode_column(b, {}, "d")
+    assert rt(b).to_pylist() == [decimal.Decimal(big), None,
+                                 decimal.Decimal(7)]
+    tbl = pa.table({"d": b})
+    buf = zseqfile.encode_table(tbl)
+    r = ZseqReader(buf)
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("d", ">", big)])), schema=r.schema)
+    assert r.blocks_skipped == 1 and out.num_rows == 0
+    r2 = ZseqReader(buf)
+    out2 = pa.Table.from_batches(
+        list(r2.batches(predicate=[("d", ">=", 7)])), schema=r2.schema)
+    assert r2.blocks_read == 1 and out2.num_rows == 3
+
+
+def test_decimal256_negative_zone_bounds():
+    """Lexicographic multi-limb extremes with negative values: min/max
+    must be the true signed extremes, not per-limb artifacts."""
+    from decimal import Decimal
+
+    from zseq import zseqfile
+    from zseq.zseqfile import ZseqReader
+
+    lo, hi = -(10 ** 50) - 3, 10 ** 45 + 9
+    arr = pa.array([Decimal(lo), Decimal(0), Decimal(hi)],
+                   type=pa.decimal256(76, 0))
+    buf = zseqfile.encode_table(pa.table({"d": arr}))
+    r = ZseqReader(buf)
+    out = pa.Table.from_batches(
+        list(r.batches(predicate=[("d", "<", lo)])), schema=r.schema)
+    assert r.blocks_skipped == 1 and out.num_rows == 0
+    r2 = ZseqReader(buf)
+    out2 = pa.Table.from_batches(
+        list(r2.batches(predicate=[("d", "<=", lo)])), schema=r2.schema)
     assert r2.blocks_read == 1 and out2.num_rows == 3

@@ -50,7 +50,10 @@ Column chunk wire format:
                    (the striped SoA split, striped.rs:287-339)
     kind 8 MAP     lengths int segment + sized key chunk + item chunk
                    (the reference's Map key/value split, striped.rs:106-125)
-    kind 9 DECIMAL precision u8 + scale i8 + int segment (precision <= 18)
+    kind 9 DECIMAL precision u8 + scale i8 + int segment(s): one for
+                   precision <= 18, two limbs (lo, hi) for 19-38
+                   (decimal128), four limbs (l0..l3) for 39-76
+                   (decimal256) — the precision byte IS the layout key
     kind 10 ENUM   tags int segment + nvariants u16 + per variant:
                    type-code i8, name, sized child chunk holding ONLY that
                    variant's values in row order (the reference's Enum =
@@ -313,11 +316,50 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             body += struct.pack("<I", len(chunk)) + chunk
         return head(K_ENUM) + tseg + bytes(body)
     if pa.types.is_decimal(t):
-        if not pa.types.is_decimal128(t):
-            # decimal256's buffer is 32 B/value — the 16 B limb math below
-            # would silently misread it, so refuse loudly.
-            raise NotImplementedError(f"zseq: {t} not supported "
-                                      "(decimal128 precisions 1-38 are)")
+        if pa.types.is_decimal256(t):
+            # Four-limb layout (precision 39-76): each 32-byte LE value
+            # rides as FOUR int64 segments l0 (lowest) .. l3 (signed
+            # high), the natural widening of the two-limb scheme below.
+            # For every |value| < 2^63 limbs l1-l3 are pure sign
+            # extension — constant runs the int pipeline's CONST/RLE
+            # eats, so the 256-bit type costs near-zero extra bytes
+            # until values actually need the range. Layout keyed on the
+            # header's precision byte (> 38), no new format flag. Zone
+            # maps: explicit 32-byte offset-binary (v + 2^255, BE)
+            # bounds — bytewise order == numeric order.
+            if t.precision <= 38:
+                # the precision byte is the layout key, so a decimal256
+                # carrying a decimal128-range precision would decode as
+                # two-limb and misread — and it fits in decimal128
+                # anyway. Refuse with the fix.
+                raise ValueError(
+                    f"zseq: {t} — precision {t.precision} fits "
+                    "decimal128; cast the column (the on-disk layout is "
+                    "keyed on precision, 39-76 = four-limb)")
+            buf = arr.buffers()[1]
+            raw = np.frombuffer(buf, dtype=np.int64,
+                                count=4 * (arr.offset + n))
+            raw = raw.reshape(-1, 4)[arr.offset:]
+            limbs = [raw[:, i].copy() for i in range(4)]
+            zseg = b""
+            vl = [x[valid] if valid is not None else x for x in limbs]
+            if zone and vl[0].size:
+                zmin = _limbs_extreme(vl, take_max=False)
+                zmax = _limbs_extreme(vl, take_max=True)
+                zseg = (bytes([32])
+                        + (zmin + 2 ** 255).to_bytes(32, "big")
+                        + bytes([32])
+                        + (zmax + 2 ** 255).to_bytes(32, "big"))
+            if valid is not None:
+                limbs = [np.where(valid, x, 0) for x in limbs]
+            segs = [IC.encode_ints(x) for x in limbs]
+            note(segs[0][0], IC.INT_CODEC_NAMES)
+            if stats is not None:
+                for i in range(1, 4):
+                    stats[f"{path}.l{i}"] = IC.INT_CODEC_NAMES[segs[i][0]]
+            return (head(K_DECIMAL, zseg)
+                    + struct.pack("<Bb", t.precision, t.scale)
+                    + b"".join(segs))
         # decimal128 buffer: 16B LE per value; low word is the value for
         # precision <= 18, high word its sign extension.
         buf = arr.buffers()[1]
@@ -387,6 +429,27 @@ def encode_column_reversed(arr: pa.Array, stats: dict | None = None,
     """Wrap a column chunk in the Reversed marker (striped.rs:490-513):
     the inner bytes are identical; only the ordering semantics differ."""
     return _HEAD.pack(K_REVERSED, 0) + encode_column(arr, stats, path, zone)
+
+
+def _limbs_extreme(limbs: list[np.ndarray], take_max: bool) -> int:
+    """Exact lexicographic extreme of little-endian multi-limb signed
+    ints (limbs[0] = lowest 64 bits ... limbs[-1] = signed high limb;
+    lower limbs compare UNSIGNED) as an arbitrary-precision python int.
+    One linear pass per limb — no per-row python-int construction."""
+    sel = np.ones(limbs[0].shape[0], dtype=bool)
+    total = 0
+    for i in range(len(limbs) - 1, -1, -1):
+        signed = i == len(limbs) - 1
+        a = limbs[i][sel]
+        if not signed:
+            a = a.view(np.uint64)
+        ext = int(a.max() if take_max else a.min())
+        total += ext << (64 * i)
+        if signed:
+            sel &= limbs[i] == ext
+        else:
+            sel &= limbs[i].view(np.uint64) == np.uint64(ext)
+    return total
 
 
 ZONE_PREFIX = 16
@@ -515,15 +578,21 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple | None]:
             # ARE the value bounds (predicate literals cross in the
             # unscaled storage domain).
             zm = IC.segment_zone(mv, pos + 2, n)
-        elif zm is not None and len(zm[0]) == 16 and len(zm[1]) == 16:
+        elif precision <= 38 and zm is not None \
+                and len(zm[0]) == 16 and len(zm[1]) == 16:
             # Two-limb: explicit 16-byte offset-binary bounds from the
             # zone section, decoded back to exact (arbitrary-precision)
             # python ints — the zone comparisons are pure Python, so the
             # int domain works past int64 unchanged.
             zm = (int.from_bytes(zm[0], "big") - 2 ** 127,
                   int.from_bytes(zm[1], "big") - 2 ** 127)
+        elif precision > 38 and zm is not None \
+                and len(zm[0]) == 32 and len(zm[1]) == 32:
+            # Four-limb: 32-byte offset-binary bounds, offset 2^255.
+            zm = (int.from_bytes(zm[0], "big") - 2 ** 255,
+                  int.from_bytes(zm[1], "big") - 2 ** 255)
         else:
-            zm = None  # older two-limb chunk without bounds: no pruning
+            zm = None  # older multi-limb chunk without bounds: no pruning
     elif kind != K_BINARY:
         zm = None
     return kind, zm
@@ -714,6 +783,23 @@ def decode_column(buf, offset: int, typ: pa.DataType,
     if kind == K_DECIMAL:
         precision, scale = struct.unpack_from("<Bb", mv, pos)
         pos += 2
+        if precision > 38:
+            # four-limb layout (decimal256): l0..l3 segments in order
+            if not pa.types.is_decimal256(typ):
+                raise ValueError(
+                    f"decimal: stored precision {precision} is a "
+                    f"decimal256 (four-limb) chunk but the target type "
+                    f"is {typ}")
+            raw = np.empty((n, 4), dtype=np.int64)
+            for i in range(4):
+                raw[:, i], pos = IC.decode_ints(mv, pos, n)
+            body = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+            return pa.Array.from_buffers(
+                typ, n, [validity_buf, body]), pos
+        if not pa.types.is_decimal128(typ):
+            raise ValueError(
+                f"decimal: stored precision {precision} is a decimal128 "
+                f"chunk but the target type is {typ}")
         v64, pos = IC.decode_ints(mv, pos, n)
         raw = np.empty((n, 2), dtype=np.int64)
         raw[:, 0] = v64
