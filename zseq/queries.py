@@ -91,6 +91,55 @@ def q_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
 
+def q_roundtrip_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch append correctness: encode half the corpus, APPEND the
+    other half (token-staged parts + revision-CAS manifest rewrite),
+    decode the combined dataset. Checksums equal the oracle's full-
+    corpus checksums iff append([A]) + append([B]) == A ∪ B exactly —
+    same oracle SQL as roundtrip_tokens by construction."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_ap_")
+    zenc.encode(df.filter("n_tok % 2 = 0"), out)
+    zenc.encode(df.filter("n_tok % 2 != 0"), out, append=True)
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
+def q_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side schema evolution: decode a committed dataset through a
+    SUPERSET reader schema — the two new nullable columns come back as
+    their L6 defaults (int 0, string '') on every row, value-checked
+    against an oracle that states those constants explicitly."""
+    import pyarrow as pa
+
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_ev_")
+    zenc.encode(df, out)
+    m = zenc.read_manifest(out)
+    written = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(m["schema"])))
+    ext = pa.schema(list(written)
+                    + [pa.field("quality", pa.int64()),
+                       pa.field("lang", pa.string())])
+    back = zdec.decode(spark, out, schema=ext)
+    return back.selectExpr(
+        "doc_id", "cast(n_tok as bigint) as n_tok",
+        "cast(quality as bigint) as quality", "lang")
+
+
+_Q_EVOLVED_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok,
+       cast(0 as bigint) as quality, '' as lang
+FROM ({inner})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-codec roundtrip queries: value column -> encode -> decode -> return.
 # ---------------------------------------------------------------------------
@@ -1054,6 +1103,8 @@ def queries() -> dict:
         "roundtrip_tokens": q_roundtrip_tokens,
         "roundtrip_salted": q_roundtrip_salted,
         "roundtrip_reversed": q_roundtrip_reversed,
+        "roundtrip_append": q_roundtrip_append,
+        "decode_evolved": q_decode_evolved,
         "codec_zbra_pipeline": _int_roundtrip(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
             IC.T_ZBRA, "pk_rt"),
@@ -1124,6 +1175,9 @@ def oracle_sql() -> dict:
         "roundtrip_tokens": _duck_tokens_checksums(),
         "roundtrip_salted": _duck_tokens_checksums(),
         "roundtrip_reversed": _duck_tokens_checksums(),
+        "roundtrip_append": _duck_tokens_checksums(),
+        "decode_evolved": _Q_EVOLVED_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
         "codec_zbra_pipeline": _identity_oracle(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey", "pk_rt"),
         "codec_forbp": _identity_oracle(
