@@ -172,3 +172,19 @@ def test_datasource_append_schema_mismatch_refused(spark, tmp_path):
         wrong.write.format("zseq").mode("append").save(out)
     # dataset untouched
     assert spark.read.format("zseq").load(out).count() == 50
+
+
+def test_append_preserves_input_files_provenance(spark, tmp_path):
+    """A DataFrame append onto a parquet-fast-path dataset must not
+    drop the committed input_files provenance list."""
+    out = str(tmp_path / "ds")
+    ind = str(tmp_path / "in")
+    synth.tokens_df_range(spark, 100, partitions=1).write.parquet(ind)
+    zenc.encode_parquet(spark, ind, out)
+    files_before = zenc.read_manifest(out)["input_files"]
+    assert files_before
+    zenc.encode(synth.tokens_df_range(spark, 50, partitions=1,
+                                      start=1_000_000), out, append=True)
+    m = zenc.read_manifest(out)
+    assert m["mode"] == "append"
+    assert m["input_files"] == files_before

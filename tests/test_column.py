@@ -330,14 +330,17 @@ def test_enum_encode_refuses_unknown_tag():
         C.encode_column(u, {}, "e")
 
 
-def test_enum_sparse_mode_rejected():
+def test_enum_sparse_mode_encodes_as_dense_layout():
+    """Sparse unions normalize to the SAME on-disk layout as dense —
+    one format, two Arrow ingestion modes (was a refusal before)."""
     import pyarrow as pa
     from zseq import column as C
     u = pa.UnionArray.from_sparse(
         pa.array([0, 1], pa.int8()),
         [pa.array([1, 2], pa.int64()), pa.array(["a", "b"], pa.string())])
-    with pytest.raises(NotImplementedError, match="dense"):
-        C.encode_column(u, {}, "e")
+    blob = C.encode_column(u, {}, "e")
+    out, _ = C.decode_column(memoryview(blob), 0, u.type, len(u))
+    assert out.to_pylist() == u.to_pylist()
 
 
 @settings(max_examples=60, deadline=None)
@@ -581,3 +584,87 @@ def test_decimal256_negative_zone_bounds():
     out2 = pa.Table.from_batches(
         list(r2.batches(predicate=[("d", "<=", lo)])), schema=r2.schema)
     assert r2.blocks_read == 1 and out2.num_rows == 3
+
+
+def test_decimal256_size_oracle_and_parity():
+    """The zbra size oracle covers decimal256 (four-limb struct mirror)
+    and zseq's encoding stays within it."""
+    from decimal import Decimal
+
+    from zseq import oracle
+
+    vals = [Decimal(10) ** 45 + i * 7 for i in range(2000)]
+    tbl = pa.table({"d": pa.array(vals, type=pa.decimal256(76, 0))})
+    zbra = oracle.table_column_sizes(tbl)["d"]
+    ours = len(C.encode_column(tbl.column("d").combine_chunks(), {}, "d"))
+    assert zbra > 0
+    assert ours <= zbra, (ours, zbra)
+
+
+# ---------------------------------------------------------------------------
+# Sparse unions: normalized to the dense on-disk layout on encode,
+# rebuilt as sparse (null padding) on decode
+# ---------------------------------------------------------------------------
+
+def _mk_sparse(pairs):
+    """Sparse union from [('i', int) | ('s', str)] pairs: full-length
+    children, padding = nulls under the other tag."""
+    codes = pa.array([0 if k == "i" else 1 for k, _ in pairs], pa.int8())
+    ints = pa.array([v if k == "i" else None for k, v in pairs],
+                    pa.int64())
+    strs = pa.array([v if k == "s" else None for k, v in pairs],
+                    pa.string())
+    return pa.UnionArray.from_sparse(codes, [ints, strs],
+                                     field_names=["i", "s"],
+                                     type_codes=[0, 1])
+
+
+def test_sparse_union_roundtrip():
+    u = _mk_sparse([("i", 5), ("s", "x"), ("i", -1), ("s", None),
+                    ("i", 0), ("s", "yy")])
+    blob = C.encode_column(u, {}, "e")
+    out, end = C.decode_column(memoryview(blob), 0, u.type, len(u))
+    assert end == len(blob)
+    assert out.type.equals(u.type)       # still sparse
+    assert out.to_pylist() == u.to_pylist()
+
+
+def test_sparse_union_padding_invisible():
+    """Two logically-equal sparse unions with DIFFERENT padding values
+    under the inactive tags encode byte-identically (padding is not
+    data), and both equal the dense encoding of the same values."""
+    a = _mk_sparse([("i", 7), ("s", "q")])
+    # same logical rows, garbage padding: ints[1]=999, strs[0]='junk'
+    codes = pa.array([0, 1], pa.int8())
+    ints = pa.array([7, 999], pa.int64())
+    strs = pa.array(["junk", "q"], pa.string())
+    b = pa.UnionArray.from_sparse(codes, [ints, strs],
+                                  field_names=["i", "s"],
+                                  type_codes=[0, 1])
+    ea, eb = C.encode_column(a, {}, "e"), C.encode_column(b, {}, "e")
+    assert ea == eb
+    out, _ = C.decode_column(memoryview(eb), 0, a.type, len(a))
+    assert out.to_pylist() == a.to_pylist() == [7, "q"]
+
+
+def test_sparse_union_sliced():
+    u = _mk_sparse([("i", 1), ("s", "a"), ("i", 2), ("s", "b"),
+                    ("i", 3)])
+    sl = u.slice(1, 3)
+    blob = C.encode_column(sl, {}, "e")
+    out, _ = C.decode_column(memoryview(blob), 0, u.type, len(sl))
+    # NB: compared against literals, not sl.to_pylist() — pyarrow's
+    # to_pylist misreads SLICED sparse unions ([None,None,None]); the
+    # encoder handles the slice correctly (rows 1..3 of the parent)
+    assert out.to_pylist() == ["a", 2, "b"]
+
+
+def test_sparse_union_size_parity_vs_oracle():
+    from zseq import oracle
+
+    u = _mk_sparse([("i", i) if i % 3 else ("s", f"w{i}")
+                    for i in range(500)])
+    tbl = pa.table({"e": u})
+    zbra = oracle.table_column_sizes(tbl)["e"]
+    ours = len(C.encode_column(u, {}, "e"))
+    assert ours <= zbra, (ours, zbra)

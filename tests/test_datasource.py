@@ -142,12 +142,6 @@ def test_columns_option_prunes_schema(registered, ds_dir):
     assert df.count() == 1000
 
 
-def test_append_mode_refused(registered, ds_dir):
-    src = synth.tokens_df_range(registered, 10, partitions=1)
-    with pytest.raises(Exception, match="append is not supported"):
-        src.write.format("zseq").mode("append").save(ds_dir)
-
-
 def test_overwrite_removes_stale_parts(registered, tmp_path):
     out = str(tmp_path / "ow")
     synth.tokens_df_range(registered, 400, partitions=4) \

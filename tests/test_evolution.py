@@ -183,3 +183,88 @@ def test_checked_in_rev00001_evolves(spark):
     rows = zdec.decode(spark, fix, schema=ext).collect()
     assert len(rows) == 64
     assert all(r["quality"] == 0 and r["lang"] == "" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions
+# ---------------------------------------------------------------------------
+
+def _kernel_dataset(tmp_path, tbl: pa.Table) -> str:
+    """Commit a dataset whose schema comes straight from Arrow (the
+    parquet-fast-path shape) — types need not round-trip through
+    Spark's StructType."""
+    import json
+    import zlib
+
+    from zseq import zseqfile
+    from zseq.encode import build_manifest
+
+    out = str(tmp_path / "kds")
+    os.makedirs(out)
+    blob = zseqfile.encode_table(tbl)
+    with open(os.path.join(out, "part-00000.zseq"), "wb") as f:
+        f.write(blob)
+    part = {"part_id": 0, "file": "part-00000.zseq", "rows": tbl.num_rows,
+            "list_elems": 0, "raw_bytes": tbl.nbytes,
+            "enc_bytes": len(blob), "wall_sec": 0.0, "codecs": "{}",
+            "col_bytes": "{}", "crc32": zlib.crc32(blob) & 0xFFFFFFFF}
+    m = build_manifest(mode="preserve", partitions=1,
+                       arrow_schema=tbl.schema, parts=[part])
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    return out
+
+
+def test_non_roundtrippable_written_types_still_read(spark, tmp_path):
+    """A dataset with large_string columns (Spark normalizes them to
+    string, so written != to_arrow(from_arrow(written))) must keep
+    reading through the DataSource — the evolution validation compares
+    in the Spark-normalized domain, not raw Arrow."""
+    from zseq.datasource import register
+
+    register(spark)
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "t": pa.array(["a", "bb", "ccc"], pa.large_string()),
+    })
+    out = _kernel_dataset(tmp_path, tbl)
+    back = spark.read.format("zseq").load(out)
+    assert sorted((r.id, r.t) for r in back.collect()) \
+        == [(1, "a"), (2, "bb"), (3, "ccc")]
+    # and evolution over it works too (reorder forces the rebuild path)
+    ext = T.StructType([
+        T.StructField("t", T.StringType(), True),
+        T.StructField("id", T.LongType(), True),
+        T.StructField("extra", T.LongType(), True)])
+    rows = spark.read.format("zseq").schema(ext).load(out).collect()
+    assert sorted((r.id, r.t, r.extra) for r in rows) \
+        == [(1, "a", 0), (2, "bb", 0), (3, "ccc", 0)]
+
+
+def test_case_colliding_new_column_refused(spark, ds):
+    """Spark resolves names case-insensitively: a 'new' column that
+    differs from a written one only in case would silently overwrite
+    the written data via withColumn — must be refused."""
+    out, _ = ds
+    written = _written_arrow(out)
+    bad = pa.schema(list(written)
+                    + [pa.field("N_tok", pa.int64(), nullable=True)])
+    with pytest.raises(ValueError, match="case"):
+        zdec.decode(spark, out, schema=bad)
+
+
+def test_empty_dataset_overwrite_keeps_revision_monotone(spark, tmp_path):
+    """A committed EMPTY dataset is still revision >= 1; overwriting it
+    must bump, not reset, the counter the append CAS relies on."""
+    from zseq.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "eds")
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    empty.write.format("zseq").mode("overwrite").save(out)
+    m1 = zenc.read_manifest(out)
+    assert m1["parts"] == [] and m1["revision"] == 1
+    empty.write.format("zseq").mode("overwrite").save(out)
+    m2 = zenc.read_manifest(out)
+    assert m2["revision"] == 2

@@ -285,17 +285,26 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         # (striped.rs:340-387). Arrow dense union IS that layout; children
         # are normalized to canonical row order via take(offsets) so the
         # encoded bytes are deterministic for any equivalent input.
-        if t.mode != "dense":
-            raise NotImplementedError(
-                "zseq: only dense unions (Enum) are supported")
+        # SPARSE unions (children full-length, no offsets buffer, rows
+        # align 1:1 with the parent) normalize to the same dense
+        # encoding: row i's offset into its variant child is i itself,
+        # and padding values under other tags are NOT data (to_pylist
+        # ignores them) — equal logical inputs encode byte-identically
+        # regardless of padding bytes. One on-disk layout either way.
+        sparse = t.mode != "dense"
         if n == 0:
             codes = np.zeros(0, dtype=np.int8)
-            offs = np.zeros(0, dtype=np.int32)
+            offs = np.zeros(0, dtype=np.int64)
         else:
             codes = np.frombuffer(arr.buffers()[1], np.int8,
                                   count=arr.offset + n)[arr.offset:]
-            offs = np.frombuffer(arr.buffers()[2], np.int32,
-                                 count=arr.offset + n)[arr.offset:]
+            if sparse:
+                # pyarrow slices sparse-union children through .field()
+                # (view of the sliced equivalent), so offsets are LOCAL
+                offs = np.arange(n, dtype=np.int64)
+            else:
+                offs = np.frombuffer(arr.buffers()[2], np.int32,
+                                     count=arr.offset + n)[arr.offset:]
         tcodes = np.array(t.type_codes, dtype=np.int8)
         if n and not np.isin(codes, tcodes).all():
             bad = sorted(set(codes[~np.isin(codes, tcodes)].tolist()))
@@ -386,15 +395,10 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
             vlo = lo64[valid] if valid is not None else lo64
             vhi = hi64[valid] if valid is not None else hi64
             if zone and vlo.size:
-                # int128 order == lexicographic (hi signed, lo unsigned):
-                # two linear passes — extreme hi limb, then the extreme
-                # unsigned lo among those rows
-                lo_u = vlo.view(np.uint64)
-                hmin, hmax = int(vhi.min()), int(vhi.max())
-                zmin = ((hmin << 64)
-                        + int(lo_u[vhi == hmin].min()))
-                zmax = ((hmax << 64)
-                        + int(lo_u[vhi == hmax].max()))
+                # int128 order == lexicographic (hi signed, lo unsigned)
+                # — the shared multi-limb extreme helper
+                zmin = _limbs_extreme([vlo, vhi], take_max=False)
+                zmax = _limbs_extreme([vlo, vhi], take_max=True)
                 zseg = (bytes([16]) + (zmin + 2 ** 127).to_bytes(16, "big")
                         + bytes([16]) + (zmax + 2 ** 127).to_bytes(16, "big"))
             if valid is not None:
@@ -774,10 +778,25 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         # every tag must belong to a decoded variant.
         if n and not np.isin(codes, np.array(seen, np.int8)).all():
             raise ValueError("enum: tag outside stored variant set")
+        names = [typ.field(i).name for i in range(typ.num_fields)]
+        if typ.mode == "sparse":
+            # scatter each dense variant back to a full-length child:
+            # null-index take puts NULL padding under other tags (the
+            # canonical padding — the writer discarded the original's)
+            full = []
+            for i in range(typ.num_fields):
+                mask = codes == int(typ.type_codes[i])
+                idx = pa.array(np.where(mask, offs, 0).astype(np.int32),
+                               mask=~mask)
+                full.append(children[i].take(idx))
+            out = pa.UnionArray.from_sparse(
+                pa.array(codes, pa.int8()), full,
+                field_names=names, type_codes=list(typ.type_codes))
+            return out, pos
         out = pa.UnionArray.from_dense(
             pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
             children,
-            field_names=[typ.field(i).name for i in range(typ.num_fields)],
+            field_names=names,
             type_codes=list(typ.type_codes))
         return out, pos
     if kind == K_DECIMAL:

@@ -224,10 +224,14 @@ class ZseqSourceReader(DataSourceReader):
         if schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            from .decode import evolution_fields
+            from .decode import evolution_fields, spark_normalized
 
             reader_arrow = to_arrow_schema(schema)
-            written_arrow = _arrow_schema_from_manifest(m)
+            # compare in the Spark-normalized type domain: a dataset
+            # written via the parquet fast path may carry types that
+            # don't round-trip through StructType (large_string etc.) —
+            # a plain full read must keep working
+            written_arrow = spark_normalized(_arrow_schema_from_manifest(m))
             extra = evolution_fields(written_arrow, reader_arrow,
                                      allow_subset=True)
             rnames = list(reader_arrow.names)
@@ -521,11 +525,14 @@ class ZseqSourceWriter(DataSourceArrowWriter):
             append_commit(self._dir, self._append_prev, parts,
                           self._schema, self._zstd, None, self._token)
             return
-        prev_rev = 0
-        if self._old_files:  # a committed manifest is being replaced
-            from .encode import read_manifest
+        # revision continues from whatever manifest is live at commit
+        # time (NOT truthiness of old parts — a committed EMPTY dataset
+        # is still revision >= 1 and must not reset the counter the
+        # append CAS relies on)
+        from .encode import read_manifest
 
-            prev_rev = (read_manifest(self._dir) or {}).get("revision", 1)
+        cur = read_manifest(self._dir)
+        prev_rev = cur.get("revision", 1) if cur is not None else 0
         manifest = build_manifest(
             mode="datasource", partitions=len(parts),
             arrow_schema=self._schema, parts=parts, zstd_level=self._zstd,

@@ -20,6 +20,23 @@ from .encode import read_manifest
 from .zseqfile import ZseqReader
 
 
+def spark_normalized(schema: pa.Schema) -> pa.Schema:
+    """A schema as Spark's type system sees it (large_string -> string,
+    etc.). Reader schemas always arrive through Spark types, so
+    evolution comparisons happen in this normalized domain — otherwise a
+    dataset written via the parquet fast path with e.g. large_string
+    columns (never round-trippable through StructType) would refuse
+    every Spark read. Falls back to the input when Spark cannot express
+    a type at all (such a dataset is not Spark-readable anyway)."""
+    try:
+        from pyspark.sql.pandas.types import (from_arrow_schema,
+                                              to_arrow_schema)
+
+        return to_arrow_schema(from_arrow_schema(schema))
+    except Exception:
+        return schema
+
+
 def evolution_fields(written: pa.Schema, reader: pa.Schema,
                      allow_subset: bool = False) -> list[pa.Field]:
     """Validate a reader schema against the written one for read-side
@@ -31,7 +48,15 @@ def evolution_fields(written: pa.Schema, reader: pa.Schema,
     Returns the new fields in reader order."""
     new: list[pa.Field] = []
     written_names = set(written.names)
+    written_lower = {n.lower() for n in written.names}
+    seen_lower: set[str] = set()
     for f in reader:
+        if f.name.lower() in seen_lower:
+            raise ValueError(
+                f"schema evolution: reader schema has duplicate column "
+                f"{f.name!r} (case-insensitive) — Spark resolves names "
+                "case-insensitively, so this is ambiguous")
+        seen_lower.add(f.name.lower())
         if f.name in written_names:
             wt = written.field(f.name).type
             if not f.type.equals(wt):
@@ -40,6 +65,15 @@ def evolution_fields(written: pa.Schema, reader: pa.Schema,
                     f"{f.type} != written {wt} — type changes are not "
                     "supported (decode, then cast)")
         else:
+            if f.name.lower() in written_lower:
+                # Spark's default resolution is case-INsensitive: a
+                # withColumn('N_tok', default) would silently REPLACE
+                # the written n_tok data — refuse instead
+                raise ValueError(
+                    f"schema evolution: new column {f.name!r} differs "
+                    "only in case from a written column — Spark would "
+                    "resolve them to the same column and overwrite the "
+                    "written data with the default")
             if not f.nullable:
                 raise ValueError(
                     f"schema evolution: new column {f.name!r} must be "
@@ -89,12 +123,17 @@ def evolve_batch(batch: pa.RecordBatch,
     new columns as L6-default constants."""
     present = {name: batch.column(i)
                for i, name in enumerate(batch.schema.names)}
-    arrays = [
-        present[f.name] if f.name in present
-        else default_array(f.type, batch.num_rows)
-        for f in reader_schema
-    ]
-    return pa.RecordBatch.from_arrays(arrays, schema=reader_schema)
+
+    def col(f: pa.Field):
+        if f.name not in present:
+            return default_array(f.type, batch.num_rows)
+        a = present[f.name]
+        # written types that Spark normalizes (large_string -> string)
+        # must match the declared reader schema exactly
+        return a if a.type.equals(f.type) else a.cast(f.type)
+
+    return pa.RecordBatch.from_arrays([col(f) for f in reader_schema],
+                                      schema=reader_schema)
 
 
 def _crc_keys(path: str) -> tuple[str, ...]:
@@ -282,9 +321,9 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
             "the committed schema to validate against"
             + (" (allow_partial reads cannot evolve)"
                if allow_partial else ""))
-    written = pa.ipc.read_schema(
-        pa.py_buffer(bytes.fromhex(manifest["schema"])))
-    new_fields = evolution_fields(written, reader_arrow)
+    written = spark_normalized(pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(manifest["schema"]))))
+    new_fields = evolution_fields(written, spark_normalized(reader_arrow))
     new_names = {f.name for f in new_fields}
     if columns is not None:
         missing = set(columns) - set(reader_arrow.names)

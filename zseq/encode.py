@@ -662,8 +662,18 @@ def check_append_compat(prev: dict, arrow_schema: pa.Schema,
     exact schema (byte-equal Arrow serialization, including reversed-
     marker metadata), same zstd level (the manifest records ONE level
     for every part), same reversed set. Widening readers are a DECODE
-    feature (schema evolution) — writes never mix schemas."""
-    if prev.get("schema") != arrow_schema.serialize().to_pybytes().hex():
+    feature (schema evolution) — writes never mix schemas.
+
+    Schema-LEVEL metadata is ignored in the comparison (Spark's parquet
+    writer stamps provenance keys there, so a DataFrame append onto a
+    parquet-fast-path dataset would spuriously mismatch); field-level
+    metadata — where the reversed markers live — still must match."""
+    def key(s: pa.Schema) -> bytes:
+        return s.remove_metadata().serialize().to_pybytes()
+
+    prev_schema = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(prev.get("schema", ""))))
+    if key(prev_schema) != key(arrow_schema):
         raise ValueError(
             "append: dataframe schema differs from the committed "
             "manifest's — appended parts must match the dataset schema "
@@ -710,11 +720,17 @@ def append_commit(out_dir: str, prev: dict, new_parts: list[dict],
             "are token-named orphans; vacuum() removes them after the "
             "age gate.")
     all_parts = prev.get("parts", []) + new_parts
+    extra = dict(extra or {})
+    if "input_files" in prev and "input_files" not in extra:
+        # provenance survives an append from ANY entry point — a
+        # DataFrame append onto a parquet-fast-path dataset must not
+        # silently drop the committed input_files list
+        extra["input_files"] = prev["input_files"]
     manifest = build_manifest(
         mode="append", partitions=len(all_parts),
         arrow_schema=arrow_schema, parts=all_parts,
         zstd_level=zstd_level, reversed_cols=reversed_cols,
-        extra={**(extra or {}),
+        extra={**extra,
                "revision": prev.get("revision", 1) + 1,
                "appends": prev.get("appends", 0) + 1})
     _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)

@@ -202,16 +202,35 @@ def column_size(arr: pa.Array) -> int:
             return int_column_size(lo64)
         return struct_column_size({
             "lo": int_column_size(lo64), "hi": int_column_size(hi64)})
+    if pa.types.is_decimal256(t):
+        # Four-limb mirror of the two-limb struct treatment above: the
+        # faithful zbra representation is a Struct of l0..l3 i64 limbs.
+        n = len(arr)
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=4 * (arr.offset + n)).reshape(-1, 4)
+        raw = raw[arr.offset:]
+        limbs = [raw[:, i].copy() for i in range(4)]
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            limbs = [np.where(valid, x, 0) for x in limbs]
+        return struct_column_size({
+            f"l{i}": int_column_size(limbs[i]) for i in range(4)})
     if pa.types.is_union(t):
-        if t.mode != "dense":
-            raise NotImplementedError("zbra oracle: sparse union")
         n = len(arr)
         codes = (np.frombuffer(arr.buffers()[1], np.int8,
                                count=arr.offset + n)[arr.offset:]
                  if n else np.zeros(0, np.int8))
-        offs = (np.frombuffer(arr.buffers()[2], np.int32,
-                              count=arr.offset + n)[arr.offset:]
-                if n else np.zeros(0, np.int32))
+        if t.mode != "dense":
+            # sparse rows align 1:1 with the parent (and .field() views
+            # the sliced child), so the "offset" of row i is i — the
+            # same normalization the zseq encoder applies
+            offs = np.arange(n, dtype=np.int32)
+        else:
+            offs = (np.frombuffer(arr.buffers()[2], np.int32,
+                                  count=arr.offset + n)[arr.offset:]
+                    if n else np.zeros(0, np.int32))
         variants = []
         for i in range(t.num_fields):
             code = t.type_codes[i]
