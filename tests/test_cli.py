@@ -192,3 +192,37 @@ def test_info_on_streaming_layout(spark, tmp_path, capsys):
     assert rep2["totals"]["list_elems"] == \
         json.load(open(os.path.join(streaming.epoch_dir(out, 0),
                                     "manifest.json")))["totals"]["list_elems"]
+
+
+def test_cli_encode_append_grows_dataset(spark, tmp_path, capsys):
+    """`python -m zseq encode --append` stages new parts and commits
+    old+new atomically — the CLI face of encode(append=True)."""
+    import os
+
+    base = str(tmp_path / "in1")
+    more = str(tmp_path / "in2")
+    out = str(tmp_path / "enc")
+    synth.tokens_df_range(spark, 300, partitions=1).write.parquet(base)
+    synth.tokens_df_range(spark, 200, partitions=1,
+                          start=1_000_000).write.parquet(more)
+    assert main(["encode", base, out]) == 0
+    capsys.readouterr()
+    assert main(["encode", more, out, "--append"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 500
+    m = zenc.read_manifest(out)
+    assert m["mode"] == "append" and m["revision"] == 2
+    from zseq import decode as zdec
+    assert zdec.decode(spark, out).count() == 500
+
+
+def test_cli_encode_salted_mode(spark, tmp_path, capsys):
+    """--mode salted is reachable from the CLI (the --partitions error
+    text recommends it, so argparse must accept it)."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "enc")
+    synth.tokens_df_range(spark, 400, partitions=2).write.parquet(inp)
+    assert main(["encode", inp, out, "--mode", "salted",
+                 "--partitions", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 400

@@ -1082,6 +1082,20 @@ def q_sim_ivf_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_inline_terms=0)
 
 
+def q_sim_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the TRAINED coarse quantizer: 5 deterministic integer
+    Lloyd rounds refine the modular init before assignment/probing.
+    Because the refinement is all-int (partitioning-independent,
+    bit-exact on rerun), the full training loop is reproducible in SQL —
+    the DuckDB oracle unrolls the same 5 rounds as CTE layers, so this
+    checks the TRAINING iteration itself, not just the final rerank."""
+    from . import sim
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(df, _EMB_DIM, c_mod=50, nprobe=2,
+                        quantizer="kmeans")
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN with Hamming-2 multi-probe. bits is PINNED (not auto-sized)
     so the static oracle SQL matches at every sf; bits=None auto-sizing
@@ -1166,6 +1180,7 @@ def queries() -> dict:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_topk_matrix": q_sim_ivf_topk_matrix,
+        "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
     }
 
 
@@ -1250,6 +1265,7 @@ def oracle_sql() -> dict:
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
         "sim_ivf_topk": _sim_ivf_oracle(),
         "sim_ivf_topk_matrix": _sim_ivf_oracle(),
+        "sim_ivf_topk_kmeans": _sim_ivf_kmeans_oracle(),
     }
 
 
@@ -1329,3 +1345,9 @@ def _sim_ivf_oracle() -> str:
     from . import sim
 
     return sim.ivf_topk_oracle_sql(_EMB_DIM, c_mod=50, nprobe=2)
+
+
+def _sim_ivf_kmeans_oracle() -> str:
+    from . import sim
+
+    return sim.ivf_topk_kmeans_oracle_sql(_EMB_DIM, c_mod=50, nprobe=2)

@@ -316,6 +316,7 @@ def _kmeans_refine(base: DataFrame, cents: list[tuple[int, list[int]]],
         for i in range(dim)
     ]
     for _ in range(iters):
+        assign1 = None
         if len(cents) * dim <= inline_cap:
             cells = _ivf_cell_structs(vec_col, cents)
             assigned = base.selectExpr(
@@ -335,6 +336,13 @@ def _kmeans_refine(base: DataFrame, cents: list[tuple[int, list[int]]],
                  *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)])
             .collect()
         )
+        if assign1 is not None:
+            # this round's centroid broadcast is dead once the stats
+            # are collected — release it instead of accumulating one
+            # ~128 MB blob per iteration
+            bc = getattr(assign1, "_zseq_bc", None)
+            if bc is not None:
+                bc.unpersist(False)
         by_cid = {int(r["cid"]): r for r in stats}
         new: list[tuple[int, list[int]]] = []
         for cid, q in cents:
@@ -430,7 +438,14 @@ def _ivf_probe_udfs(df: DataFrame, cents: list[tuple[int, list[int]]],
 
         return probe
 
-    return [make(n) for n in ns]
+    udfs = [make(n) for n in ns]
+    for u in udfs:
+        # expose the shared broadcast so iterative callers (the k-means
+        # refiner builds fresh centroids each round) can unpersist it —
+        # otherwise every Lloyd iteration pins up to 128 MB of dead
+        # executor state for the application's lifetime
+        u._zseq_bc = bc
+    return udfs
 
 
 def _ivf_cell_structs(vec_col: str,
@@ -584,6 +599,76 @@ WITH base AS (SELECT cast({id_col} as bigint) as id, {vec_col} as v
        SELECT q.query_id, a.id as neighbor_id, {sdot} as score
        FROM qprob q JOIN assign a USING (cid)
             JOIN base qb ON qb.id = q.query_id
+            JOIN base nb ON nb.id = a.id
+       WHERE a.id != q.query_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) as rank
+       FROM scored)
+SELECT cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       cast(score as bigint) as score, cast(rank as bigint) as rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+def ivf_topk_kmeans_oracle_sql(dim: int, n_queries: int = 10,
+                               topk: int = 5, c_mod: int = 50,
+                               nprobe: int = 2, iters: int = 5,
+                               table: str = "embeddings",
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> str:
+    """Static SQL mirror of ``ivf_topk(quantizer='kmeans')``: the
+    fixed-iteration integer Lloyd refinement (:func:`_kmeans_refine`) is
+    UNROLLED as ``iters`` CTE layers — assignment by argmax integer dot
+    (ties to the smaller cid), new centroid = component-wise floor-mean
+    of the members' QUANT-quantized vectors, empty cells keep their
+    previous centroid. All-int arithmetic makes the Spark result
+    partitioning-independent, which is exactly what lets a sequential
+    SQL engine reproduce it bit-for-bit. The floor-mean is computed as
+    ``floor(s/n)`` in doubles: |s| <= rows*QUANT stays far under 2^53
+    and the nearest non-integer true quotient is 1/n away from an
+    integer, so double rounding cannot cross a floor boundary."""
+    idot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+            "i -> b.qv[i] * c.cq[i]))")
+    sdot = _qdot_duck("qr.v", "nb.v")
+    layers = []
+    for t in range(iters):
+        layers.append(f"""
+     a{t} AS (SELECT id, cid FROM (
+       SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id
+              ORDER BY {idot} DESC, c.cid ASC) as rn
+       FROM qb b, c{t} c) WHERE rn = 1),
+     n{t} AS (SELECT cid, count(*) as n FROM a{t} GROUP BY cid),
+     m{t} AS (SELECT a.cid, e.i, sum(e.q) as s
+              FROM a{t} a JOIN qe e USING (id) GROUP BY a.cid, e.i),
+     u{t} AS (SELECT m.cid,
+                     list(cast(floor(cast(m.s as double) / n.n) as bigint)
+                          ORDER BY m.i) as cq
+              FROM m{t} m JOIN n{t} n USING (cid) GROUP BY m.cid),
+     c{t + 1} AS (SELECT c.cid, coalesce(u.cq, c.cq) as cq
+                  FROM c{t} c LEFT JOIN u{t} u USING (cid))""")
+    return f"""
+WITH base AS (SELECT cast({id_col} as bigint) as id, {vec_col} as v
+              FROM {table}),
+     qb AS (SELECT id, list_transform(v, x ->
+              cast(floor(cast(x as double) * {QUANT}) as bigint)) as qv
+            FROM base),
+     qe AS (SELECT id, i, qv[i] as q
+            FROM qb, range(1, {dim} + 1) t(i)),
+     c0 AS (SELECT id as cid, qv as cq FROM qb WHERE id % {c_mod} = 0),
+     {",".join(layers)},
+     adots AS (SELECT b.id, c.cid, {idot} as s FROM qb b, c{iters} c),
+     ranked_cells AS (
+       SELECT id, cid, row_number() OVER (PARTITION BY id
+              ORDER BY s DESC, cid ASC) as rn FROM adots),
+     assign AS (SELECT id, cid FROM ranked_cells WHERE rn = 1),
+     qprob AS (SELECT id as query_id, cid FROM ranked_cells
+               WHERE id < {n_queries} AND rn <= {nprobe}),
+     scored AS (
+       SELECT q.query_id, a.id as neighbor_id, {sdot} as score
+       FROM qprob q JOIN assign a USING (cid)
+            JOIN base qr ON qr.id = q.query_id
             JOIN base nb ON nb.id = a.id
        WHERE a.id != q.query_id),
      ranked AS (
