@@ -8,7 +8,10 @@ Prints ONE JSON line:
    plus informational keys: tokens, tokens_per_sec_<cores> per level,
    scaling_efficiency (the headline N->4N window),
    scaling_efficiency_1_4, bytes_per_token,
-   zbra_bytes_per_token_sampled}
+   zbra_bytes_per_token_sampled, stage_retries (every failed stage
+   attempt's rc — first-class, not a stderr line), and the sf1_*
+   fields embedded from BENCH/sf1_scaling.json when the measured-once
+   10x-input 2->8 window (python bench.py --sf1) has been recorded}
 
 The two-cluster-size criterion (BASELINE.json: >=0.8 throughput scaling
 efficiency from N to 4N executors) is evidenced by running the identical
@@ -104,7 +107,7 @@ def _warmup(spark, cores: int) -> None:
 # Stages (each runs in its own subprocess / fresh JVM)
 # ---------------------------------------------------------------------------
 
-def stage_materialize(work: str) -> dict:
+def stage_materialize(work: str, partitions: int | None = None) -> dict:
     from zseq import synth
 
     spark = _session(CPUS)
@@ -112,7 +115,7 @@ def stage_materialize(work: str) -> dict:
     # 4 files per measured core: enough parallelism for the HIGH run,
     # big enough files that per-task overhead (~50-90 ms) stays <5%.
     df = synth.tokens_df_range(spark, BENCH_DOCS,
-                               partitions=max(HIGH * 4, 16))
+                               partitions=partitions or max(HIGH * 4, 16))
     path = os.path.join(work, "tokens_input")
     df.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
@@ -204,13 +207,92 @@ def stage_kernel(work: str) -> dict:
             "kernel_decode_tokens_per_sec": round(toks / t_dec)}
 
 
+def _pool_encode_one(args: tuple) -> int:
+    """One file's work under the process-pool control: the LITERAL Spark
+    task body — pyarrow read then zseq.encode._encode_table_to_file
+    (row clustering, 64K batching, codec selection, frame, crc, write,
+    fsync, rename). Anything less is not a control: the first sf1 run
+    omitted write+fsync and read 1.01 pool efficiency vs Spark's 0.51;
+    the second omitted clustering and still under-worked the pool by
+    ~30%. Threads pinned to 1 so N procs really means N cores."""
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from zseq.encode import _encode_table_to_file
+
+    path, out_dir = args
+    tbl = pq.read_table(path, use_threads=False)
+    row = _encode_table_to_file(
+        tbl, out_dir, 0, tbl.schema, True, 1 << 16, _t.time(), None,
+        fname=os.path.basename(path) + ".zseq")
+    return int(row["enc_bytes"])
+
+
+def _pool_init() -> None:
+    import pyarrow as pa
+
+    pa.set_cpu_count(1)
+
+
+def _pool_warm(_: int) -> int:
+    """Load the import chain in a worker before the timed region (the
+    Spark levels get the same treatment via _warmup)."""
+    import time as _t
+
+    import pyarrow.parquet  # noqa: F401
+
+    from zseq import zseqfile  # noqa: F401
+
+    _t.sleep(0.05)  # hold the worker so every pool member gets one task
+    return 0
+
+
+def stage_pool(work: str, cores: int) -> dict:
+    """Spark-free process-pool CONTROL for a scaling window: encodes the
+    identical materialized input files with multiprocessing.Pool(cores).
+    Whatever efficiency this reads on a window is the host's ceiling for
+    that window (memory bandwidth + CPU steal) — no Spark job can beat
+    its own pool control, so Spark-vs-pool on the same input isolates
+    Spark's fixed overhead from the host ceiling."""
+    import glob as _glob
+    from multiprocessing import get_context
+
+    files = sorted(_glob.glob(os.path.join(work, "tokens_input",
+                                           "*.parquet")))
+    if not files:
+        raise RuntimeError("pool stage: no materialized input")
+    out_dir = os.path.join(work, f"pool_out_{cores}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    ctx = get_context("spawn")
+    try:
+        with ctx.Pool(cores, initializer=_pool_init) as p:
+            p.map(_pool_warm, range(cores * 2), chunksize=1)
+            t0 = time.time()
+            sizes = p.map(_pool_encode_one,
+                          [(f, out_dir) for f in files], chunksize=1)
+            dt = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": round(dt, 3), "files": len(files),
+            "enc_bytes": sum(sizes)}
+
+
 STAGES = {
-    "materialize": lambda work, arg: stage_materialize(work),
+    "materialize": lambda work, arg: stage_materialize(
+        work, int(arg) if arg else None),
     "encode": lambda work, arg: stage_encode(work, int(arg)),
     "verify": lambda work, arg: stage_verify(work, int(arg)),
     "oracle": lambda work, arg: stage_oracle(work),
     "kernel": lambda work, arg: stage_kernel(work),
+    "pool": lambda work, arg: stage_pool(work, int(arg)),
 }
+
+# Every failed stage attempt lands here as {stage[:arg]: [rc, ...]} and
+# is emitted verbatim as the first-class `stage_retries` output field —
+# a real in-code crash must not be absorbable by the retry loop unseen.
+RETRY_LOG: dict[str, list[int]] = {}
 
 
 def _run_stage(work: str, stage: str, arg: str = "",
@@ -230,6 +312,8 @@ def _run_stage(work: str, stage: str, arg: str = "",
         if out.returncode == 0:
             return json.loads(out.stdout.strip().splitlines()[-1])
         last = out
+        RETRY_LOG.setdefault(
+            f"{stage}:{arg}" if arg else stage, []).append(out.returncode)
         sys.stderr.write(
             f"bench stage {stage} attempt {attempt} rc={out.returncode}\n")
         sys.stderr.write(out.stderr[-4000:])
@@ -241,11 +325,79 @@ def _run_stage(work: str, stage: str, arg: str = "",
         f"bench stage {stage} failed (rc={last.returncode})")
 
 
+SF1_PATH = os.path.join(REPO, "BENCH", "sf1_scaling.json")
+
+
+def run_sf1() -> None:
+    """The sf1 (10x input) 2->8 scaling measurement: the claim that
+    Spark's ~1.5 s fixed job overhead amortizes with input size is an
+    argument at sf0.1 and a MEASUREMENT here. Runs the identical encode
+    at local[2] vs local[8] on a ~2.3B-token materialized corpus,
+    interleaved with a Spark-free multiprocessing.Pool control on the
+    very same input files (the host's ceiling for the window), plus the
+    single-core kernel control for contention attribution. Writes
+    BENCH/sf1_scaling.json; the standard bench embeds it as the
+    sf1_* output fields. Rerun with `python bench.py --sf1` (~30 min
+    on an idle host)."""
+    docs = int(os.environ.get("ZSEQ_SF1_DOCS", str(BENCH_DOCS * 10)))
+    reps = int(os.environ.get("ZSEQ_SF1_REPS", "3"))
+    os.environ["ZSEQ_BENCH_DOCS"] = str(docs)  # inherited by stages
+    levels = [2, 8]
+    work = tempfile.mkdtemp(prefix="zseq_sf1_")
+    try:
+        mat = _run_stage(work, "materialize", "64")
+        spark_runs: dict[int, list] = {lv: [] for lv in levels}
+        pool_runs: dict[int, list] = {lv: [] for lv in levels}
+        # Interleave spark/pool and both levels within every rep cycle
+        # so a contention burst hits all four measurements alike.
+        for _ in range(reps):
+            for lv in levels:
+                spark_runs[lv].append(_run_stage(work, "encode", str(lv)))
+                pool_runs[lv].append(_run_stage(work, "pool", str(lv)))
+        ker = _run_stage(work, "kernel")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    tokens = mat["tokens"]
+    s_sec = {lv: trimmed_median([r["sec"] for r in spark_runs[lv]])
+             for lv in levels}
+    p_sec = {lv: trimmed_median([r["sec"] for r in pool_runs[lv]])
+             for lv in levels}
+    out = {
+        "sf1_docs": docs,
+        "sf1_tokens": tokens,
+        "materialize_sec": mat["sec"],
+        "partitions": 64,
+        "statistic": "trimmed_median",
+        "reps": reps,
+        "spark_sec": {str(lv): [r["sec"] for r in spark_runs[lv]]
+                      for lv in levels},
+        "pool_sec": {str(lv): [r["sec"] for r in pool_runs[lv]]
+                     for lv in levels},
+        "sf1_scaling_2_8": round(s_sec[2] / s_sec[8] / 4, 3),
+        "sf1_pool_scaling_2_8": round(p_sec[2] / p_sec[8] / 4, 3),
+        "sf1_tokens_per_sec_2": round(tokens / s_sec[2]),
+        "sf1_tokens_per_sec_8": round(tokens / s_sec[8]),
+        "kernel_tokens_per_sec": ker["kernel_tokens_per_sec"],
+        "kernel_decode_tokens_per_sec": ker["kernel_decode_tokens_per_sec"],
+        "enc_bytes": spark_runs[8][0]["enc_bytes"],
+        "bytes_per_token": round(spark_runs[8][0]["enc_bytes"] / tokens, 4),
+        "measured_unix": int(time.time()),
+        "stage_retries": RETRY_LOG,
+    }
+    os.makedirs(os.path.dirname(SF1_PATH), exist_ok=True)
+    with open(SF1_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
         stage, work = sys.argv[2], sys.argv[3]
         arg = sys.argv[4] if len(sys.argv) > 4 else ""
         print(json.dumps(STAGES[stage](work, arg)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
+        run_sf1()
         return
 
     work = tempfile.mkdtemp(prefix="zseq_bench_")
@@ -310,7 +462,23 @@ def main() -> None:
         "codecs_part0": top["codecs_part0"],
         "encode_reps": {str(lv): [r["sec"] for r in runs[lv]]
                         for lv in LEVELS},
+        # first-class retry accounting: every failed stage attempt's rc
+        # (empty dict = clean run; a SIGSEGV-killed-then-retried stage
+        # shows e.g. {"oracle": [-11]} instead of hiding in stderr)
+        "stage_retries": RETRY_LOG,
     }
+    # The measured-once sf1 (10x) 2->8 window + its pool/kernel controls
+    # (see run_sf1) ride along so every BENCH_r*.json carries the
+    # larger-scale evidence with its provenance timestamp.
+    if os.path.exists(SF1_PATH):
+        with open(SF1_PATH) as f:
+            sf1 = json.load(f)
+        out["sf1_scaling_2_8"] = sf1.get("sf1_scaling_2_8")
+        out["sf1_pool_scaling_2_8"] = sf1.get("sf1_pool_scaling_2_8")
+        out["sf1_tokens"] = sf1.get("sf1_tokens")
+        out["sf1_kernel_tokens_per_sec"] = sf1.get("kernel_tokens_per_sec")
+        out["sf1_measured_unix"] = sf1.get("measured_unix")
+        out["sf1"] = sf1
     print(json.dumps(out))
 
 
