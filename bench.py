@@ -138,6 +138,11 @@ def stage_encode(work: str, cores: int) -> dict:
     return {"sec": round(dt, 3), "enc_bytes": res.total_enc_bytes,
             "rows": res.total_rows, "list_elems": res.total_list_elems,
             "codecs_part0": res.parts[0]["codecs"] if res.parts else "{}",
+            # per-task in-worker walls: lets scaling analysis separate
+            # task slowness from scheduling gaps (busy fraction =
+            # sum(walls) / (cores * sec))
+            "task_walls": sorted(round(p["wall_sec"], 3)
+                                 for p in res.parts),
             "out": out}
 
 
@@ -207,14 +212,17 @@ def stage_kernel(work: str) -> dict:
             "kernel_decode_tokens_per_sec": round(toks / t_dec)}
 
 
-def _pool_encode_one(args: tuple) -> int:
+def _pool_encode_one(args: tuple) -> tuple:
     """One file's work under the process-pool control: the LITERAL Spark
-    task body — pyarrow read then zseq.encode._encode_table_to_file
-    (row clustering, 64K batching, codec selection, frame, crc, write,
-    fsync, rename). Anything less is not a control: the first sf1 run
-    omitted write+fsync and read 1.01 pool efficiency vs Spark's 0.51;
-    the second omitted clustering and still under-worked the pool by
-    ~30%. Threads pinned to 1 so N procs really means N cores."""
+    task body — pyarrow read, select + cast to the dataset schema, then
+    zseq.encode._encode_table_to_file (row clustering, 64K batching,
+    codec selection, frame, crc, write, fsync, rename). Anything less
+    is not a control: the first sf1 run omitted write+fsync and read
+    1.01 pool efficiency vs Spark's 0.51; the second omitted clustering
+    and still under-worked the pool by ~30%; a third variant omitted
+    select/cast and ran with pyarrow's default IO pool (8 threads/proc
+    vs the Spark worker's pinned 2) — flattering the pool on IO-heavy
+    windows. Returns (enc_bytes, wall_sec)."""
     import time as _t
 
     import pyarrow.parquet as pq
@@ -222,17 +230,25 @@ def _pool_encode_one(args: tuple) -> int:
     from zseq.encode import _encode_table_to_file
 
     path, out_dir = args
+    t0 = _t.time()
     tbl = pq.read_table(path, use_threads=False)
+    # mirror zseq.encode._encode_files: the select is a no-op when the
+    # file already matches the dataset schema (it does here — one
+    # homogeneous materialized input), the cast still runs
+    tbl = tbl.cast(tbl.schema)
     row = _encode_table_to_file(
         tbl, out_dir, 0, tbl.schema, True, 1 << 16, _t.time(), None,
         fname=os.path.basename(path) + ".zseq")
-    return int(row["enc_bytes"])
+    return int(row["enc_bytes"]), round(_t.time() - t0, 3)
 
 
 def _pool_init() -> None:
     import pyarrow as pa
 
+    # the same pinning as the Spark task body (zseq/encode.py
+    # _encode_files): 1 compute core, 2 IO threads per worker
     pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
 
 
 def _pool_warm(_: int) -> int:
@@ -270,13 +286,14 @@ def stage_pool(work: str, cores: int) -> dict:
         with ctx.Pool(cores, initializer=_pool_init) as p:
             p.map(_pool_warm, range(cores * 2), chunksize=1)
             t0 = time.time()
-            sizes = p.map(_pool_encode_one,
-                          [(f, out_dir) for f in files], chunksize=1)
+            results = p.map(_pool_encode_one,
+                            [(f, out_dir) for f in files], chunksize=1)
             dt = time.time() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return {"sec": round(dt, 3), "files": len(files),
-            "enc_bytes": sum(sizes)}
+            "enc_bytes": sum(b for b, _ in results),
+            "task_walls": sorted(w for _, w in results)}
 
 
 STAGES = {

@@ -15,15 +15,18 @@ process-pool control running the literal task body on the same input
   between them — visible as a low busy fraction
   (sum(task wall) / (8 x wall clock)) with matching per-task sums.
 
+Every measured stage runs via bench._run_stage in its OWN subprocess /
+fresh JVM (an in-process materialize leaves a local[32] session behind
+that getOrCreate silently reuses — the first version of this script did
+exactly that, and its "local[8]" runs showed 21 concurrent tasks).
+
 Usage: python bench/profile_sf1_8wide.py [reps]
 Writes BENCH/sf1_8wide_profile.json and prints one JSON line.
 Interleaves spark/pool within every rep so a host-contention window
-hits both runners alike. Reuses bench.py's materialize stage (64 files,
-15M docs) in a temp dir; ~6-10 min per rep pair.
+hits both runners alike. ~4-6 min per rep pair after materialize.
 """
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -40,69 +43,14 @@ import bench  # noqa: E402  (bench.py at the repo root)
 CORES = 8
 
 
-def _spark_run(work: str) -> dict:
-    """One spark@8 encode with per-part wall_sec kept."""
-    from zseq import encode as zenc
-
-    spark = bench._session(CORES)
-    bench._warmup(spark, CORES)
-    out = os.path.join(work, "enc_prof")
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    res = zenc.encode_parquet(spark, os.path.join(work, "tokens_input"),
-                              out)
-    dt = time.time() - t0
-    walls = sorted(p["wall_sec"] for p in res.parts)
-    return {"runner": "spark", "wall_clock": round(dt, 3),
-            "task_walls": walls}
-
-
-def _pool_encode_timed(args: tuple) -> float:
-    import time as _t
-
-    import pyarrow.parquet as pq
-
-    from zseq.encode import _encode_table_to_file
-
-    path, out_dir = args
-    t0 = _t.time()
-    tbl = pq.read_table(path, use_threads=False)
-    _encode_table_to_file(
-        tbl, out_dir, 0, tbl.schema, True, 1 << 16, _t.time(), None,
-        fname=os.path.basename(path) + ".zseq")
-    return _t.time() - t0
-
-
-def _pool_run(work: str) -> dict:
-    from multiprocessing import get_context
-
-    files = sorted(glob.glob(os.path.join(work, "tokens_input",
-                                          "*.parquet")))
-    out = os.path.join(work, "pool_prof")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    ctx = get_context("spawn")
-    try:
-        with ctx.Pool(CORES, initializer=bench._pool_init) as p:
-            p.map(bench._pool_warm, range(CORES * 2), chunksize=1)
-            t0 = time.time()
-            walls = p.map(_pool_encode_timed,
-                          [(f, out) for f in files], chunksize=1)
-            dt = time.time() - t0
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return {"runner": "pool", "wall_clock": round(dt, 3),
-            "task_walls": sorted(round(w, 3) for w in walls)}
-
-
-def _summ(r: dict) -> dict:
+def _summ(runner: str, r: dict) -> dict:
     walls = r["task_walls"]
     s = sum(walls)
     return {
-        "runner": r["runner"],
-        "wall_clock": r["wall_clock"],
+        "runner": runner,
+        "wall_clock": r["sec"],
         "sum_task_wall": round(s, 1),
-        "busy_frac": round(s / (CORES * r["wall_clock"]), 3),
+        "busy_frac": round(s / (CORES * r["sec"]), 3),
         "task_p50": round(statistics.median(walls), 2),
         "task_max": round(max(walls), 2),
     }
@@ -110,19 +58,23 @@ def _summ(r: dict) -> dict:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    # bench.BENCH_DOCS is bound at import; the sf1 corpus is 10x it
-    bench.BENCH_DOCS = int(os.environ.get(
-        "ZSEQ_SF1_DOCS", str(bench.BENCH_DOCS * 10)))
+    os.environ["ZSEQ_BENCH_DOCS"] = os.environ.get(
+        "ZSEQ_SF1_DOCS", str(bench.BENCH_DOCS * 10))  # stages inherit
     work = tempfile.mkdtemp(prefix="zseq_prof8_")
     runs = []
     try:
-        bench.stage_materialize(work, partitions=64)
+        bench._run_stage(work, "materialize", "64")
         for _ in range(reps):
-            runs.append(_summ(_spark_run(work)))
-            runs.append(_summ(_pool_run(work)))
+            runs.append(_summ("spark",
+                              bench._run_stage(work, "encode",
+                                               str(CORES))))
+            runs.append(_summ("pool",
+                              bench._run_stage(work, "pool",
+                                               str(CORES))))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     out = {"cores": CORES, "reps": reps, "runs": runs,
+           "stage_retries": bench.RETRY_LOG,
            "measured_unix": int(time.time())}
     with open(os.path.join(REPO, "BENCH", "sf1_8wide_profile.json"),
               "w") as f:

@@ -188,3 +188,21 @@ def test_append_preserves_input_files_provenance(spark, tmp_path):
     m = zenc.read_manifest(out)
     assert m["mode"] == "append"
     assert m["input_files"] == files_before
+
+
+def test_append_refused_on_unreadable_manifest_schema(spark, tmp_path):
+    """A manifest whose 'schema' entry is missing or corrupt must refuse
+    an append with the append-contract error, not an ArrowInvalid."""
+    import json
+    import os
+
+    out = str(tmp_path / "ds")
+    df = synth.tokens_df_range(spark, 50, partitions=1)
+    zenc.encode(df, out, partitions=1)
+    mpath = os.path.join(out, "manifest.json")
+    m = json.load(open(mpath))
+    m["schema"] = "zz"  # not valid hex-encoded Arrow IPC
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="no readable 'schema'"):
+        zenc.encode(synth.tokens_df_range(spark, 10, partitions=1),
+                    out, append=True, partitions=1)

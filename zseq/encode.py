@@ -671,8 +671,16 @@ def check_append_compat(prev: dict, arrow_schema: pa.Schema,
     def key(s: pa.Schema) -> bytes:
         return s.remove_metadata().serialize().to_pybytes()
 
-    prev_schema = pa.ipc.read_schema(
-        pa.py_buffer(bytes.fromhex(prev.get("schema", ""))))
+    try:
+        prev_schema = pa.ipc.read_schema(
+            pa.py_buffer(bytes.fromhex(prev.get("schema", ""))))
+    except Exception as e:
+        # a missing/corrupt manifest 'schema' must surface as the
+        # append-contract error, not an opaque ArrowInvalid
+        raise ValueError(
+            "append: the committed manifest has no readable 'schema' "
+            f"entry ({e!r}) — cannot prove the appended parts match; "
+            "re-encode fresh or restore the manifest") from e
     if key(prev_schema) != key(arrow_schema):
         raise ValueError(
             "append: dataframe schema differs from the committed "
