@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -479,6 +480,16 @@ def main() -> None:
         "codecs_part0": top["codecs_part0"],
         "encode_reps": {str(lv): [r["sec"] for r in runs[lv]]
                         for lv in LEVELS},
+        # busy fraction per level = sum(in-task walls) / (cores * wall):
+        # ~1.0 means the window is execution-bound (scheduling overhead
+        # and stragglers negligible); a LOW value at an unchanged level
+        # flags idle cores, a >1.0-impossible value flags a mislabeled
+        # core count. Median across that level's reps.
+        "busy_frac": {
+            str(lv): round(statistics.median(
+                sum(r["task_walls"]) / (lv * r["sec"])
+                for r in runs[lv]), 3)
+            for lv in LEVELS},
         # first-class retry accounting: every failed stage attempt's rc
         # (empty dict = clean run; a SIGSEGV-killed-then-retried stage
         # shows e.g. {"oracle": [-11]} instead of hiding in stderr)

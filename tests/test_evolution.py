@@ -268,3 +268,30 @@ def test_empty_dataset_overwrite_keeps_revision_monotone(spark, tmp_path):
     empty.write.format("zseq").mode("overwrite").save(out)
     m2 = zenc.read_manifest(out)
     assert m2["revision"] == 2
+
+
+def test_evolution_composes_with_predicate_pushdown(spark, ds):
+    """decode(schema=ext, predicate=...) prunes on WRITTEN columns
+    exactly as a non-evolved read would, and still fills the new
+    columns; a predicate naming a NEW column is an advisory no-op
+    (new columns have no zone maps) that composes with .filter."""
+    out, df = ds
+    ext = _ext_arrow(_written_arrow(out))
+    hi = df.agg({"n_tok": "max"}).collect()[0][0]
+
+    pruned = zdec.decode(spark, out, schema=ext,
+                         predicate=[("n_tok", "=", hi)])
+    exact = pruned.filter(f"n_tok = {hi}")
+    want = df.filter(f"n_tok = {hi}").count()
+    assert want >= 1
+    assert exact.count() == want
+    r = exact.limit(1).collect()[0]
+    assert r["quality"] == 0 and r["lang"] == ""
+    # the pruned frame is a superset of the exact rows, never a loss
+    assert pruned.count() >= want
+
+    # predicate on the evolved column: no zone maps exist for it, so
+    # nothing prunes and nothing breaks
+    noop = zdec.decode(spark, out, schema=ext,
+                       predicate=[("quality", ">=", 0)])
+    assert noop.count() == df.count()
