@@ -392,7 +392,7 @@ def test_partition_packing_math(spark, tmp_path):
                               "target_partition_bytes": str(1 << 40)})
     groups = r_big.partitions()
     files = [f for g in groups for f, _ in g.files]
-    assert sorted(files) == sorted(p for p, _, _ in r_big._parts)
+    assert sorted(files) == sorted(p for p, *_ in r_big._parts)
     assert len(files) == len(set(files)) == 16
     # parallelism floor: even with an unbounded byte target the corpus
     # spreads over ~defaultParallelism tasks
@@ -428,12 +428,12 @@ def test_partition_packing_without_enc_bytes(spark, tmp_path):
     r = ZseqSourceReader({"path": out})
     groups = r.partitions()
     files = [f for g in groups for f, _ in g.files]
-    assert sorted(files) == sorted(p for p, _, _ in r._parts)
-    assert all(s > 0 for _, _, s in r._parts)   # getsize fallback kicked in
+    assert sorted(files) == sorted(p for p, *_ in r._parts)
+    assert all(s > 0 for _, _, s, _ in r._parts)   # getsize fallback kicked in
     assert len(groups) >= min(16, r._min_tasks)
 
     # degenerate case: sizes genuinely unknowable -> count-based packing
-    r._parts = [(p, c, 0) for p, c, _ in r._parts]
+    r._parts = [(p, c, 0, z) for p, c, _, z in r._parts]
     groups0 = r.partitions()
     files0 = [f for g in groups0 for f, _ in g.files]
     assert sorted(files0) == sorted(files)

@@ -366,3 +366,104 @@ def test_decimal_predicate_skips_with_sorted_data():
     outn = pa.Table.from_batches(
         list(rn.batches(predicate=[("p38", ">", 0)])), schema=rn.schema)
     assert outn.num_rows == 20              # superset semantics intact
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level (per-part) zone maps: driver-side FILE pruning
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def range_ds(spark, tmp_path_factory):
+    """3 parts with disjoint k ranges (repartitionByRange + preserve
+    mode keeps the split), an int column and a string column."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+
+    out = str(tmp_path_factory.mktemp("zones") / "ds")
+    df = spark.range(0, 300).selectExpr(
+        "id as k", "cast(id as string) as s")
+    zenc.encode(df.repartitionByRange(3, "k"), out)
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    return out, m
+
+
+def test_manifest_parts_carry_zone_envelopes(range_ds):
+    _, m = range_ds
+    assert len(m["parts"]) == 3
+    envs = sorted(
+        zseqfile.zones_from_json(p["zones"])["k"] for p in m["parts"])
+    assert envs == [(0, 99), (100, 199), (200, 299)]
+    # string columns get byte envelopes that really envelope
+    for p in m["parts"]:
+        lo, hi = zseqfile.zones_from_json(p["zones"])["s"]
+        klo, khi = zseqfile.zones_from_json(p["zones"])["k"]
+        assert lo <= str(klo).encode() and hi >= str(khi).encode()
+
+
+def test_parts_provably_empty_prunes_files(range_ds):
+    _, m = range_ds
+    kept = [p for p in m["parts"]
+            if not zseqfile.parts_provably_empty(p, [("k", "=", 250)])]
+    assert len(kept) == 1
+    z = zseqfile.zones_from_json(kept[0]["zones"])
+    assert z["k"] == (200, 299)
+    # range predicate spanning two parts keeps exactly those two
+    kept2 = [p for p in m["parts"]
+             if not zseqfile.parts_provably_empty(
+                 p, [("k", ">=", 90), ("k", "<", 120)])]
+    assert len(kept2) == 2
+
+
+def test_parts_pruning_tolerates_old_and_statless_parts():
+    # pre-zones manifests (no 'zones' key) and poisoned columns (None)
+    # are never pruned — conservative superset semantics
+    assert not zseqfile.parts_provably_empty({}, [("k", "=", 1)])
+    assert not zseqfile.parts_provably_empty(
+        {"zones": zseqfile.zones_to_json({"k": None})}, [("k", "=", 1)])
+    # and a column absent from the zones dict doesn't prune either
+    assert not zseqfile.parts_provably_empty(
+        {"zones": zseqfile.zones_to_json({"other": (0, 9)})},
+        [("k", "=", 1)])
+
+
+def test_decode_file_pruning_end_to_end(spark, range_ds):
+    from zseq import decode as zdec
+
+    out, _ = range_ds
+    got = zdec.decode(spark, out, predicate=[("k", "=", 250)]) \
+        .filter("k = 250").collect()
+    assert [r["k"] for r in got] == [250]
+    # superset semantics preserved: the pruned read + exact filter over
+    # a range equals the unpruned filter
+    a = sorted(r["k"] for r in zdec.decode(
+        spark, out, predicate=[("k", ">=", 95), ("k", "<", 105)])
+        .filter("k >= 95 and k < 105").collect())
+    assert a == list(range(95, 105))
+
+
+def test_datasource_file_pruning_partitions(spark, range_ds):
+    from pyspark.sql.datasource import EqualTo
+
+    from zseq.datasource import ZseqSourceReader
+
+    out, _ = range_ds
+    # force 1 file per group so group count == file count
+    r = ZseqSourceReader({"path": out, "target_partition_bytes": "1",
+                          "min_partitions": "1"})
+    assert len(r.partitions()) == 3
+    r2 = ZseqSourceReader({"path": out, "target_partition_bytes": "1",
+                           "min_partitions": "1"})
+    r2.pushFilters([EqualTo(("k",), 250)])
+    parts = r2.partitions()
+    assert len(parts) == 1
+    rows = sum(b.num_rows for p in parts for b in r2.read(p))
+    assert rows == 100  # only the 200-299 file is opened at all
+
+
+def test_zones_json_roundtrip_decimal256_domain():
+    big = 10 ** 60
+    z = {"d": (-big, big), "b": (b"\x00", b"\xff" * 8), "n": None}
+    back = zseqfile.zones_from_json(zseqfile.zones_to_json(z))
+    assert back == z

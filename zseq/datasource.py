@@ -263,7 +263,8 @@ class ZseqSourceReader(DataSourceReader):
 
         self._parts = [
             (os.path.join(self._dir, p["file"]), p.get("crc32"),
-             _psize(os.path.join(self._dir, p["file"]), p))
+             _psize(os.path.join(self._dir, p["file"]), p),
+             p.get("zones"))
             for p in m.get("parts", [])
         ]
         # Task sizing: pack part files into ~target-byte groups, floored
@@ -399,21 +400,35 @@ class ZseqSourceReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        if not self._parts:
-            # a committed EMPTY dataset must read as an empty DataFrame:
-            # returning [] here makes Spark's planning worker call
-            # read(None), which crashes the job
+        parts = self._parts
+        if parts and self._predicate:
+            # Driver-side FILE pruning against the manifest's part-level
+            # zone envelopes (pushFilters ran before partitions() per
+            # the DataSource contract): a pruned file never becomes an
+            # InputPartition, so the cluster never launches a task for
+            # it. Conservative superset — Spark re-applies every filter
+            # exactly (pushFilters returns them all unhandled).
+            from .zseqfile import parts_provably_empty
+
+            parts = [
+                t for t in parts
+                if not parts_provably_empty({"zones": t[3]},
+                                            self._predicate)]
+        if not parts:
+            # a committed EMPTY dataset (or a fully-pruned read) must
+            # yield an empty DataFrame: returning [] here makes Spark's
+            # planning worker call read(None), which crashes the job
             return [ZseqPartGroup(())]
-        total = sum(s for _, _, s in self._parts)
-        if total == 0 and len(self._parts) > 1:
+        total = sum(s for _, _, s, _ in parts)
+        if total == 0 and len(parts) > 1:
             # No size information at all (manifest lacks enc_bytes and
             # the files are unreadable/empty): count-based packing so the
             # read still fans out instead of serializing on one task.
-            per = -(-len(self._parts) // max(1, self._min_tasks))
+            per = -(-len(parts) // max(1, self._min_tasks))
             return [ZseqPartGroup(tuple(
                         (path, crc)
-                        for path, crc, _ in self._parts[i:i + per]))
-                    for i in range(0, len(self._parts), per)]
+                        for path, crc, _, _ in parts[i:i + per]))
+                    for i in range(0, len(parts), per)]
         # effective group size: never larger than the byte target, never
         # so large that fewer than min_tasks groups cover the dataset
         eff = max(1, min(self._target_bytes,
@@ -421,7 +436,7 @@ class ZseqSourceReader(DataSourceReader):
         groups: list[ZseqPartGroup] = []
         cur: list[tuple] = []
         cur_bytes = 0
-        for path, crc, size in self._parts:
+        for path, crc, size, _zones in parts:
             if cur and cur_bytes + size > eff:
                 groups.append(ZseqPartGroup(tuple(cur)))
                 cur, cur_bytes = [], 0

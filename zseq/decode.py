@@ -282,10 +282,19 @@ def decode(spark: SparkSession, out_dir: str,
     # concurrent writer's staged output) must not leak rows into a
     # committed dataset.
     base = os.path.basename(os.path.abspath(out_dir))
-    paths = [os.path.join(out_dir, p["file"])
-             for p in manifest.get("parts", [])]
-    crcs = {f"{base}/{p['file']}": p["crc32"]
-            for p in manifest.get("parts", [])}
+    parts = manifest.get("parts", [])
+    if predicate:
+        # driver-side FILE pruning against the manifest's part-level
+        # zone envelopes: at cluster scale, skipping a file here saves
+        # the whole task launch + blob fetch, not just its decode work.
+        # Conservative superset (like block pruning) — Spark's own
+        # filter above handles exact row semantics.
+        from .zseqfile import parts_provably_empty
+
+        parts = [p for p in parts
+                 if not parts_provably_empty(p, predicate)]
+    paths = [os.path.join(out_dir, p["file"]) for p in parts]
+    crcs = {f"{base}/{p['file']}": p["crc32"] for p in parts}
     return _df_from_parts(spark, paths, crcs, schema, names,
                           columns, predicate)
 

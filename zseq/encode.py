@@ -46,7 +46,7 @@ from .zseqfile import ZseqWriter
 METRICS_SCHEMA = (
     "part_id int, file string, rows long, list_elems long, raw_bytes long, "
     "enc_bytes long, wall_sec double, codecs string, col_bytes string, "
-    "crc32 long"
+    "crc32 long, zones string"
 )
 
 _METRICS_PA = pa.schema([
@@ -54,7 +54,7 @@ _METRICS_PA = pa.schema([
     ("list_elems", pa.int64()), ("raw_bytes", pa.int64()),
     ("enc_bytes", pa.int64()), ("wall_sec", pa.float64()),
     ("codecs", pa.string()), ("col_bytes", pa.string()),
-    ("crc32", pa.int64()),
+    ("crc32", pa.int64()), ("zones", pa.string()),
 ])
 
 
@@ -416,12 +416,18 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
     # cost a full second pass of I/O per part).
     crc = w.crc32
     os.replace(tmp, final)
+    from .zseqfile import zones_to_json
+
     return {
         "part_id": part_id, "file": fname, "rows": tbl.num_rows,
         "list_elems": list_elems, "raw_bytes": raw_bytes,
         "enc_bytes": w.bytes_written, "wall_sec": time.time() - t0,
         "codecs": json.dumps(w.codec_stats),
         "col_bytes": json.dumps(w.col_bytes), "crc32": crc,
+        # part-level zone envelope -> manifest: lets decode()/the
+        # DataSource prune whole FILES on the driver before any task
+        # launches (block pruning inside surviving files is unchanged)
+        "zones": zones_to_json(w.part_zones),
     }
 
 

@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from . import encode as zenc
+from . import zseqfile
 
 
 def epoch_dir(out_dir: str, epoch_id: int) -> str:
@@ -184,6 +185,11 @@ def decode_stream(spark: SparkSession, out_dir: str,
                 "the epoch ranges separately")
         base = os.path.basename(os.path.normpath(d))
         for p in m.get("parts", []):
+            if predicate and zseqfile.parts_provably_empty(p, predicate):
+                # driver-side file pruning by the manifest's part-level
+                # zone envelopes — a year of epochs narrows to the files
+                # that can match before one task launches
+                continue
             paths.append(os.path.join(d, p["file"]))
             crcs[f"{base}/{p['file']}"] = p["crc32"]
     if schema_hex is None:

@@ -73,6 +73,13 @@ class ZseqWriter:
         # length prefixes) — the lineage a 100 TB operator needs to see
         # WHICH column is eating the budget.
         self.col_bytes: dict[str, int] = {}
+        # Part-LEVEL zone maps: the running envelope of every block's
+        # zone map, per column. None = some block gave no stats for the
+        # column, so no part-level bound exists (conservative). These
+        # land in the manifest so the DRIVER can skip whole files before
+        # any task launches — at cluster scale that beats block pruning,
+        # which only happens after a task has already opened the blob.
+        self.part_zones: dict[str, tuple | None] = {}
         mb = json.dumps(meta or {}).encode()
         sb = schema.serialize().to_pybytes()
         self._write(MAGIC)
@@ -103,6 +110,17 @@ class ZseqWriter:
             out.write(chunk)
             self.col_bytes[name] = (
                 self.col_bytes.get(name, 0) + 4 + len(chunk))
+            # accumulate the part-level zone envelope (header parse only)
+            if self.part_zones.get(name, ()) is not None:
+                _kind, zm = COL.chunk_stats(chunk, 0, batch.num_rows)
+                prev = self.part_zones.get(name)
+                if zm is None:
+                    self.part_zones[name] = None
+                elif prev is None or name not in self.part_zones:
+                    self.part_zones[name] = zm
+                else:
+                    self.part_zones[name] = (min(prev[0], zm[0]),
+                                             max(prev[1], zm[1]))
         self._write(out.getvalue())
         self.total_rows += batch.num_rows
 
@@ -267,6 +285,51 @@ def _coerce_zone_value(x, lo):
     if isinstance(x, (bytes, bytearray)):
         return bytes(x)
     return None
+
+
+def zones_to_json(zones: dict) -> str:
+    """Part-level zone maps -> manifest JSON. Int bounds (incl. decimal
+    limb domains past int64 — Python ints are arbitrary precision and
+    json carries them exactly) stay ints; byte-envelope bounds (string/
+    binary columns) go hex. None (no stats for the column) round-trips."""
+    out = {}
+    for name, zm in zones.items():
+        if zm is None:
+            out[name] = None
+        elif isinstance(zm[0], (bytes, bytearray)):
+            out[name] = {"k": "b", "lo": bytes(zm[0]).hex(),
+                         "hi": bytes(zm[1]).hex()}
+        else:
+            out[name] = {"k": "i", "lo": int(zm[0]), "hi": int(zm[1])}
+    return json.dumps(out)
+
+
+def zones_from_json(s: str | None) -> dict:
+    """Inverse of zones_to_json; tolerant of missing/empty input (parts
+    committed by pre-zones code revisions have no 'zones' key)."""
+    if not s:
+        return {}
+    out = {}
+    for name, z in json.loads(s).items():
+        if z is None:
+            out[name] = None
+        elif z.get("k") == "b":
+            out[name] = (bytes.fromhex(z["lo"]), bytes.fromhex(z["hi"]))
+        else:
+            out[name] = (int(z["lo"]), int(z["hi"]))
+    return out
+
+
+def parts_provably_empty(part: dict, predicate) -> bool:
+    """Driver-side FILE pruning: True when a manifest part's zone
+    envelope proves the predicate conjunction empty — the whole file is
+    skipped before any task launches. Parts without a 'zones' entry
+    (older code revisions) are never pruned; per-block pruning inside
+    surviving files still applies unchanged."""
+    zs = part.get("zones")
+    if not zs:
+        return False
+    return _block_provably_empty(predicate, zones_from_json(zs))
 
 
 def _block_provably_empty(predicate, zonemaps) -> bool:
