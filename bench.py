@@ -397,6 +397,15 @@ def run_sf1() -> None:
         "sf1_tokens_per_sec_8": round(tokens / s_sec[8]),
         "kernel_tokens_per_sec": ker["kernel_tokens_per_sec"],
         "kernel_decode_tokens_per_sec": ker["kernel_decode_tokens_per_sec"],
+        # busy fraction per runner/level (see main()): separates
+        # execution-bound windows from idle-core scheduling gaps without
+        # needing a separate profiling run
+        "busy_frac": {
+            runner: {str(lv): round(statistics.median(
+                sum(r["task_walls"]) / (lv * r["sec"]) for r in rs[lv]),
+                3) for lv in levels}
+            for runner, rs in (("spark", spark_runs), ("pool", pool_runs))
+        },
         "enc_bytes": spark_runs[8][0]["enc_bytes"],
         "bytes_per_token": round(spark_runs[8][0]["enc_bytes"] / tokens, 4),
         "measured_unix": int(time.time()),
