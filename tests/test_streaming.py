@@ -246,3 +246,71 @@ def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     assert got[(0, "a")] == (2, 15)
     assert got[(5, "b")] == (1, 7)
     assert got[(6, "b")] == (1, 3)
+
+
+def test_decode_stream_schema_evolution(spark, tmp_path):
+    """decode_stream(schema=ext): the batch read-side evolution over
+    EVERY committed epoch — new nullable columns L6-default-filled,
+    narrowing refused, only-new-column projection keeps the row count."""
+    import pyarrow as pa
+    import pytest
+
+    from zseq.encode import read_manifest
+
+    out = str(tmp_path / "sevo")
+    expect = []
+    for e in range(3):
+        expect += _write_epoch(out, e)
+    w = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(
+        read_manifest(streaming.epoch_dir(out, 0))["schema"])))
+    ext = pa.schema(list(w) + [pa.field("quality", pa.int64(),
+                                        nullable=True)])
+    df = streaming.decode_stream(spark, out, schema=ext)
+    assert df.columns == ["doc_id", "v", "quality"]
+    rows = df.collect()
+    assert len(rows) == len(expect)
+    assert sorted((r["doc_id"], r["v"]) for r in rows) == sorted(expect)
+    assert all(r["quality"] == 0 for r in rows)
+
+    only = streaming.decode_stream(spark, out, schema=ext,
+                                   columns=["quality"])
+    assert only.columns == ["quality"]
+    assert only.count() == len(expect)
+
+    with pytest.raises(ValueError, match="narrowing"):
+        streaming.decode_stream(
+            spark, out, schema=pa.schema([pa.field("doc_id", pa.int64())]))
+
+
+def test_decode_stream_file_pruning_by_manifest_zones(spark, tmp_path):
+    """Epoch parts whose manifest zone envelope excludes the predicate
+    are never OPENED: prove it by corrupting every other epoch's part
+    file on disk — a read that touched them would die on the crc gate."""
+    import json
+
+    from zseq.zseqfile import zones_to_json
+
+    out = str(tmp_path / "sprune")
+    for e in range(3):
+        _write_epoch(out, e)
+        d = streaming.epoch_dir(out, e)
+        mp = os.path.join(d, "manifest.json")
+        m = json.load(open(mp))
+        m["parts"][0]["zones"] = zones_to_json(
+            {"doc_id": (e * 100, e * 100 + 4)})
+        json.dump(m, open(mp, "w"))
+    # corrupt epochs 0 and 2 (leave their manifests claiming the old crc)
+    for e in (0, 2):
+        p = os.path.join(streaming.epoch_dir(out, e), "part-00000.zseq")
+        b = bytearray(open(p, "rb").read())
+        b[len(b) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(b))
+    got = streaming.decode_stream(
+        spark, out, predicate=[("doc_id", "=", 103)]) \
+        .filter("doc_id = 103").collect()
+    assert [(r["doc_id"], r["v"]) for r in got] == [(103, "x1_3")]
+    # without the predicate the corrupted epochs ARE read and refused
+    import pytest
+
+    with pytest.raises(Exception, match="crc32|corrupt"):
+        streaming.decode_stream(spark, out).count()

@@ -306,12 +306,31 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
     usual, then project to the reader schema with constant L6 defaults
     for the new columns — all inside one JVM-side select (Catalyst
     folds the literals; nothing extra crosses the Python boundary)."""
-    from pyspark.sql import functions as F
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"{out_dir}/manifest.json missing — schema evolution needs "
+            "the committed schema to validate against"
+            + (" (allow_partial reads cannot evolve)"
+               if allow_partial else ""))
+    reader_struct, read_cols, new_names = evolved_read_plan(
+        schema, manifest["schema"], columns)
+    base = decode(spark, out_dir, columns=read_cols, predicate=predicate)
+    return apply_evolution(base, reader_struct, new_names, columns)
+
+
+def evolved_read_plan(schema, written_hex: str,
+                      columns: list[str] | None):
+    """Shared validation half of an evolved read (batch decode AND
+    decode_stream): the reader schema (pyarrow.Schema or Spark
+    StructType) against the committed hex-serialized Arrow schema ->
+    (reader_struct, read_cols, new_names). ``read_cols`` is the
+    projection to actually read from disk (None = all written columns);
+    when every requested column is new, ONE written column is still read
+    so the row count is real (apply_evolution drops it)."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import (from_arrow_schema,
                                           to_arrow_schema)
-
-    from .schema import default_for
 
     if isinstance(schema, T.StructType):
         reader_arrow = to_arrow_schema(schema)
@@ -323,15 +342,8 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
         raise TypeError(
             f"decode schema must be a pyarrow.Schema or Spark "
             f"StructType, got {type(schema).__name__}")
-    manifest = read_manifest(out_dir)
-    if manifest is None:
-        raise FileNotFoundError(
-            f"{out_dir}/manifest.json missing — schema evolution needs "
-            "the committed schema to validate against"
-            + (" (allow_partial reads cannot evolve)"
-               if allow_partial else ""))
     written = spark_normalized(pa.ipc.read_schema(
-        pa.py_buffer(bytes.fromhex(manifest["schema"]))))
+        pa.py_buffer(bytes.fromhex(written_hex))))
     new_fields = evolution_fields(written, spark_normalized(reader_arrow))
     new_names = {f.name for f in new_fields}
     if columns is not None:
@@ -342,10 +354,20 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
     if columns is not None:
         read_cols = [c for c in columns if c not in new_names]
         if not read_cols:
-            # all requested columns are new: still read ONE written
-            # column so the row count is real; the final select drops it
             read_cols = [written.names[0]]
-    base = decode(spark, out_dir, columns=read_cols, predicate=predicate)
+    return reader_struct, read_cols, new_names
+
+
+def apply_evolution(base, reader_struct, new_names: set,
+                    columns: list[str] | None):
+    """Projection half of an evolved read: constant L6 defaults for the
+    new columns, reader-order select — one JVM-side projection (Catalyst
+    folds the literals; nothing extra crosses the Python boundary)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .schema import default_for
+
     out = base
     for f in reader_struct.fields:
         if f.name not in new_names:

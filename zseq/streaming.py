@@ -143,7 +143,8 @@ def windowed_stats(stream_df: DataFrame, time_col: str = "ts",
 
 def decode_stream(spark: SparkSession, out_dir: str,
                   columns: list[str] | None = None,
-                  predicate: list[tuple] | None = None) -> DataFrame:
+                  predicate: list[tuple] | None = None,
+                  schema=None) -> DataFrame:
     """All committed epochs as one DataFrame — ONE binaryFile scan + one
     mapInArrow over every committed part across every epoch (the schema
     is identical across epochs by construction; this is asserted).
@@ -155,7 +156,13 @@ def decode_stream(spark: SparkSession, out_dir: str,
     (path, crc) list, and the executed plan carries a single scan node
     regardless of epoch count. Per-epoch crcs stay enforced (the crc map
     is keyed by "epoch-dir/file", so identically-named parts of
-    different epochs cannot alias)."""
+    different epochs cannot alias).
+
+    ``schema`` -> the same read-side schema EVOLUTION as
+    :func:`zseq.decode.decode`: a superset reader schema whose new
+    nullable columns are L6-default-filled — a long-lived stream whose
+    consumers grew columns keeps reading every epoch ever committed,
+    still through one scan node."""
     import pyarrow as pa
 
     from . import decode as zdec
@@ -194,6 +201,15 @@ def decode_stream(spark: SparkSession, out_dir: str,
             crcs[f"{base}/{p['file']}"] = p["crc32"]
     if schema_hex is None:
         raise FileNotFoundError(f"no committed epochs in {out_dir}")
+    if schema is not None:
+        reader_struct, read_cols, new_names = zdec.evolved_read_plan(
+            schema, schema_hex, columns)
+        written = pa.ipc.read_schema(
+            pa.py_buffer(bytes.fromhex(schema_hex)))
+        base = zdec._df_from_parts(spark, paths, crcs, written, names,
+                                   read_cols, predicate)
+        return zdec.apply_evolution(base, reader_struct, new_names,
+                                    columns)
     if columns is not None:
         missing = set(columns) - set(names)
         if missing:
