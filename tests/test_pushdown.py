@@ -467,3 +467,54 @@ def test_zones_json_roundtrip_decimal256_domain():
     z = {"d": (-big, big), "b": (b"\x00", b"\xff" * 8), "n": None}
     back = zseqfile.zones_from_json(zseqfile.zones_to_json(z))
     assert back == z
+
+
+def test_uint64_sign_crossing_disables_zone_bounds():
+    """uint64 rides as its int64 bit pattern; a chunk whose values cross
+    the sign boundary must expose NO zone bounds (signed-order bounds
+    would prune files/blocks that contain matching rows)."""
+    tbl = pa.table({"u": pa.array([1, 2, 2 ** 64 - 1], pa.uint64())})
+    buf = zseqfile.encode_table(tbl)
+    # block level: the matching row survives the predicate
+    out = zseqfile.decode_table(buf, predicate=[("u", "=", 2 ** 64 - 1)])
+    assert out.column("u").to_pylist().count(2 ** 64 - 1) == 1
+    # part level: the writer records no envelope for the column
+    import io
+
+    sink = io.BytesIO()
+    w = zseqfile.ZseqWriter(sink, tbl.schema)
+    for b in tbl.to_batches():
+        w.write_batch(b)
+    w.finish()
+    assert w.part_zones["u"] is None
+    # nonneg uint64 keeps enveloping (shared-domain) bounds
+    tbl2 = pa.table({"u": pa.array([3, 9, 5], pa.uint64())})
+    sink2 = io.BytesIO()
+    w2 = zseqfile.ZseqWriter(sink2, tbl2.schema)
+    for b in tbl2.to_batches():
+        w2.write_batch(b)
+    w2.finish()
+    lo, hi = w2.part_zones["u"]
+    assert 0 <= lo <= 3 and hi >= 9
+
+
+def test_all_null_chunk_does_not_poison_part_envelope():
+    """An all-null chunk constrains nothing (null never satisfies a
+    pushed comparison) — the envelope from the other chunks survives."""
+    import io
+
+    schema = pa.schema([("s", pa.string())])
+    b1 = pa.record_batch([pa.array(["b", "d"])], schema=schema)
+    b2 = pa.record_batch([pa.array([None, None], pa.string())],
+                         schema=schema)
+    sink = io.BytesIO()
+    w = zseqfile.ZseqWriter(sink, schema)
+    w.write_batch(b1)
+    w.write_batch(b2)
+    w.finish()
+    lo, hi = w.part_zones["s"]
+    assert lo <= b"b" and hi >= b"d"
+    # and rows (incl. the nulls) still decode past a matching predicate
+    out = zseqfile.decode_table(sink.getvalue(),
+                                predicate=[("s", "=", "b")])
+    assert out.column("s").to_pylist().count("b") == 1

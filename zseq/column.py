@@ -573,8 +573,19 @@ def chunk_stats(buf, offset: int, n: int) -> tuple[int, tuple | None]:
         # No-op wrapper: zone maps come from the inner chunk.
         return chunk_stats(mv, pos, n)
     if kind == K_INT:
-        pos += 2  # width, signed
+        width, signed = struct.unpack_from("<BB", mv, pos)
+        pos += 2
         zm = IC.segment_zone(mv, pos, n)
+        if zm is not None and width == 8 and not signed and zm[0] < 0:
+            # uint64 rides as its int64 BIT PATTERN (values >= 2^63 are
+            # negative int64s), so segment-derived bounds live in signed
+            # order while predicate literals arrive unsigned. A negative
+            # bound means the chunk crosses the sign boundary — the
+            # signed interval is NOT an unsigned interval, and pruning
+            # on it drops matching rows. No bound is the only safe
+            # answer. (lo >= 0 implies hi >= lo >= 0: both domains
+            # agree, bounds stay valid; widths < 8 widen nonneg.)
+            zm = None
     elif kind == K_DECIMAL:
         precision, _scale = struct.unpack_from("<Bb", mv, pos)
         if precision <= 18:

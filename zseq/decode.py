@@ -313,7 +313,7 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
             "the committed schema to validate against"
             + (" (allow_partial reads cannot evolve)"
                if allow_partial else ""))
-    reader_struct, read_cols, new_names = evolved_read_plan(
+    reader_struct, read_cols, new_names, _written = evolved_read_plan(
         schema, manifest["schema"], columns)
     base = decode(spark, out_dir, columns=read_cols, predicate=predicate)
     return apply_evolution(base, reader_struct, new_names, columns)
@@ -324,10 +324,12 @@ def evolved_read_plan(schema, written_hex: str,
     """Shared validation half of an evolved read (batch decode AND
     decode_stream): the reader schema (pyarrow.Schema or Spark
     StructType) against the committed hex-serialized Arrow schema ->
-    (reader_struct, read_cols, new_names). ``read_cols`` is the
+    (reader_struct, read_cols, new_names, written). ``read_cols`` is the
     projection to actually read from disk (None = all written columns);
     when every requested column is new, ONE written column is still read
-    so the row count is real (apply_evolution drops it)."""
+    so the row count is real (apply_evolution drops it). ``written`` is
+    the parsed, Spark-normalized committed schema so callers don't
+    re-parse the hex."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import (from_arrow_schema,
                                           to_arrow_schema)
@@ -355,7 +357,7 @@ def evolved_read_plan(schema, written_hex: str,
         read_cols = [c for c in columns if c not in new_names]
         if not read_cols:
             read_cols = [written.names[0]]
-    return reader_struct, read_cols, new_names
+    return reader_struct, read_cols, new_names, written
 
 
 def apply_evolution(base, reader_struct, new_names: set,

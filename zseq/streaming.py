@@ -202,10 +202,8 @@ def decode_stream(spark: SparkSession, out_dir: str,
     if schema_hex is None:
         raise FileNotFoundError(f"no committed epochs in {out_dir}")
     if schema is not None:
-        reader_struct, read_cols, new_names = zdec.evolved_read_plan(
-            schema, schema_hex, columns)
-        written = pa.ipc.read_schema(
-            pa.py_buffer(bytes.fromhex(schema_hex)))
+        reader_struct, read_cols, new_names, written = \
+            zdec.evolved_read_plan(schema, schema_hex, columns)
         base = zdec._df_from_parts(spark, paths, crcs, written, names,
                                    read_cols, predicate)
         return zdec.apply_evolution(base, reader_struct, new_names,

@@ -112,11 +112,18 @@ class ZseqWriter:
                 self.col_bytes.get(name, 0) + 4 + len(chunk))
             # accumulate the part-level zone envelope (header parse only)
             if self.part_zones.get(name, ()) is not None:
+                col = batch.column(i)
+                if col.null_count == len(col):
+                    # an ALL-NULL chunk has no zone section, but null
+                    # rows can never satisfy a pushed comparison — it
+                    # constrains nothing, so it must not poison the
+                    # envelope the other chunks built
+                    continue
                 _kind, zm = COL.chunk_stats(chunk, 0, batch.num_rows)
-                prev = self.part_zones.get(name)
+                prev = self.part_zones.get(name, ())
                 if zm is None:
                     self.part_zones[name] = None
-                elif prev is None or name not in self.part_zones:
+                elif prev == ():  # first contributing chunk
                     self.part_zones[name] = zm
                 else:
                     self.part_zones[name] = (min(prev[0], zm[0]),
