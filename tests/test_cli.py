@@ -226,3 +226,10 @@ def test_cli_encode_salted_mode(spark, tmp_path, capsys):
                  "--partitions", "2"]) == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["rows"] == 400
+
+
+def test_info_reports_zoned_parts(enc_dir, capsys):
+    assert main(["info", enc_dir]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["zoned_parts"] == len(
+        zenc.read_manifest(enc_dir)["parts"]) == 2

@@ -134,6 +134,12 @@ def cmd_info(args) -> int:
         "codecs": json.loads(m["parts"][0]["codecs"]) if m["parts"] else {},
         "col_bytes": dict(sorted(col_bytes.items(),
                                  key=lambda kv: -kv[1])),
+        # how much of the dataset supports driver-side FILE pruning:
+        # parts committed by pre-zones revisions read fine but are
+        # never pruned — an operator planning predicate-heavy reads at
+        # scale wants to see that before re-encoding
+        "zoned_parts": sum(1 for p in m.get("parts", [])
+                           if p.get("zones")),
     }
     print(json.dumps(view, indent=2))
     return 0
