@@ -518,3 +518,56 @@ def test_all_null_chunk_does_not_poison_part_envelope():
     out = zseqfile.decode_table(sink.getvalue(),
                                 predicate=[("s", "=", "b")])
     assert out.column("s").to_pylist().count("b") == 1
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    n=st.integers(1, 90),
+    data=st.data(),
+    block=st.sampled_from([7, 16, 64]),
+    preds=st.lists(_conjunct(), min_size=1, max_size=2),
+)
+def test_file_envelope_prune_never_drops_rows(n, data, block, preds):
+    """FILE-level twin of test_pushdown_prune_never_drops_rows: the
+    part-level zone envelope ZseqWriter accumulates (all-null-chunk
+    skip, sign-boundary refusal, byte truncation and all) may only call
+    a part provably-empty when NO row in it matches the predicate —
+    the same reference semantics (_match) as block pruning, exercised
+    through zones_to_json -> parts_provably_empty exactly as the
+    manifest round-trips them."""
+    import io
+
+    ints = data.draw(st.lists(_ints, min_size=n, max_size=n))
+    tss = data.draw(st.lists(_ints, min_size=n, max_size=n))
+    strs = data.draw(st.lists(_strs, min_size=n, max_size=n))
+    bins = data.draw(st.lists(_bins, min_size=n, max_size=n))
+    decs = data.draw(st.lists(_decs, min_size=n, max_size=n))
+    dec38s = data.draw(st.lists(_dec38s, min_size=n, max_size=n))
+    import decimal
+    with decimal.localcontext() as ctx:
+        ctx.prec = 40
+        dec_vals = [None if v is None else decimal.Decimal(v).scaleb(-2)
+                    for v in decs]
+        dec38_vals = [None if v is None else decimal.Decimal(v)
+                      for v in dec38s]
+    tbl = pa.table({
+        "i": pa.array(ints, type=pa.int64()),
+        "ts": pa.array(tss, type=pa.timestamp("us")),
+        "d": pa.array(dec_vals, type=pa.decimal128(14, 2)),
+        "D": pa.array(dec38_vals, type=pa.decimal128(38, 0)),
+        "s": pa.array(strs, type=pa.string()),
+        "b": pa.array(bins, type=pa.binary()),
+    })
+    w = zseqfile.ZseqWriter(io.BytesIO(), tbl.schema)
+    for b in tbl.to_batches(max_chunksize=block):
+        w.write_batch(b)
+    w.finish()
+    part = {"zones": zseqfile.zones_to_json(w.part_zones)}
+
+    cols = {"i": ints, "ts": tss, "d": decs, "D": dec38s,
+            "s": strs, "b": bins}
+    any_match = any(
+        all(_match(cols[c][rid], op, lit) for c, op, lit in preds)
+        for rid in range(n))
+    if zseqfile.parts_provably_empty(part, list(preds)):
+        assert not any_match, (preds, w.part_zones)
