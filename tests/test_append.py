@@ -89,7 +89,7 @@ def test_resume_refused_on_appended_dataset(spark, base):
     zenc.encode(synth.tokens_df_range(spark, 50, partitions=1,
                                       start=1_000_000), out, append=True)
     df = synth.tokens_df_range(spark, 10, partitions=1)
-    with pytest.raises(ValueError, match="appended dataset"):
+    with pytest.raises(ValueError, match="dataset after 'append'"):
         zenc.encode(df, out, mode="hash", resume=True)
 
 

@@ -210,11 +210,28 @@ def cmd_verify(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Compact committed streaming epochs into one dataset: the standard
-    small-file GC for a long-running streaming sink (epoch part files
-    merge into ``--partitions`` size-uniform parts through the hash
-    encoder, which is the mode whose bucket assignment is deterministic
-    and resumable)."""
+    """Two compaction shapes behind one verb:
+
+    ``compact <stream_dir> <out>`` — rewrite committed streaming epochs
+    into one batch dataset through the hash encoder (full re-encode,
+    deterministic buckets).
+
+    ``compact <dataset_dir>`` (no out) — IN-PLACE incremental merge of
+    the dataset's small part files (encode.compact_parts): only parts
+    under --small-mb are read and re-encoded into ~--target-mb parts,
+    committed by a revision-CAS manifest rewrite. O(small data), the
+    post-append maintenance op; no Spark session needed."""
+    if args.out is None:
+        from . import encode as zenc
+
+        res = zenc.compact_parts(
+            args.input,
+            target_bytes=int(args.target_mb * (1 << 20)),
+            small_bytes=(int(args.small_mb * (1 << 20))
+                         if args.small_mb is not None else None),
+            dry_run=args.dry_run)
+        print(json.dumps(res))
+        return 0
     spark = _spark(args)
     from . import encode as zenc
     from . import streaming
@@ -359,8 +376,17 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact")
     c.add_argument("input")
-    c.add_argument("out")
+    c.add_argument("out", nargs="?", default=None,
+                   help="omit for in-place small-part compaction of a "
+                        "committed batch dataset")
     c.add_argument("--partitions", type=int, default=None)
+    c.add_argument("--target-mb", type=float, default=128.0,
+                   help="in-place: merged part size target")
+    c.add_argument("--small-mb", type=float, default=None,
+                   help="in-place: only parts under this are merged "
+                        "(default target/2)")
+    c.add_argument("--dry-run", action="store_true",
+                   help="in-place: report the merge plan, write nothing")
     c.set_defaults(fn=cmd_compact)
 
     vac = sub.add_parser("vacuum")

@@ -563,11 +563,12 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     os.makedirs(out_dir, exist_ok=True)
 
     prev = read_manifest(out_dir)
-    if resume and prev is not None and prev.get("mode") == "append":
+    if resume and prev is not None and prev.get("mode") in ("append",
+                                                            "compact"):
         raise ValueError(
-            "resume cannot target an appended dataset — hash-bucket "
-            "determinism no longer spans the whole part set; append new "
-            "data with append=True or re-encode fresh")
+            f"resume cannot target a dataset after '{prev['mode']}' — "
+            "hash-bucket determinism no longer spans the whole part "
+            "set; append new data with append=True or re-encode fresh")
     append_prev = prev if (append and prev is not None) else None
     old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
@@ -752,6 +753,174 @@ def append_commit(out_dir: str, prev: dict, new_parts: list[dict],
     return manifest
 
 
+def _merge_group(task: tuple) -> dict:
+    """One compaction unit: read a group of committed small parts
+    (crc-gated), concatenate, re-encode as ONE staged part file. Pure
+    Python so it runs identically inside a Spark task (compact_parts
+    with a session) or on the driver — the dataset's rows never cross
+    the JVM boundary either way; only this returned metrics dict does."""
+    (out_dir, files, schema_hex, batch_rows, zstd_level, part_id,
+     fname) = task
+    from .zseqfile import ZseqReader, check_crc
+
+    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+    tables = []
+    for rel, crc in files:
+        path = os.path.join(out_dir, rel)
+        with open(path, "rb") as f:
+            content = f.read()
+        check_crc(content, crc, path)
+        tables.append(ZseqReader(content).read_all())
+    tbl = pa.concat_tables(tables).combine_chunks()
+    return _encode_table_to_file(tbl, out_dir, part_id, schema, False,
+                                 batch_rows, time.time(), zstd_level,
+                                 fname=fname)
+
+
+def compact_parts(out_dir: str, spark=None, *,
+                  target_bytes: int = 128 << 20,
+                  small_bytes: int | None = None,
+                  batch_rows: int = 1 << 16,
+                  dry_run: bool = False) -> dict:
+    """In-place incremental compaction: merge a committed dataset's
+    SMALL part files into ~``target_bytes`` parts, leaving large parts
+    untouched. The small-files maintenance op a long-lived dataset needs
+    after many appends (each append commits its own parts) — cost is
+    O(small data), never O(dataset), unlike the stream->batch rewrite
+    (``python -m zseq compact <stream> <out>``) which re-encodes
+    everything through Spark.
+
+    Parts with encoded size under ``small_bytes`` (default
+    ``target_bytes // 2``) are greedily grouped in manifest order up to
+    ``target_bytes``; groups of one are left alone (no gain). With a
+    SparkSession each group is an independent task (rows stay in Python
+    workers; re-selection of codecs over the bigger concatenated chunks
+    typically also shrinks the bytes); without one, groups run serially
+    on the driver — the CLI convenience path. The merged part's zone
+    envelope is computed fresh by the writer, so driver-side file
+    pruning keeps working.
+
+    Commit = revision compare-and-swap manifest rewrite (same guard and
+    race posture as append_commit). Replaced files are deliberately NOT
+    deleted at commit: an in-flight reader may still hold the previous
+    manifest, so they age out via ``vacuum()`` exactly like any other
+    superseded part. A crash before the swap leaves token-named staged
+    orphans and an untouched dataset. ``resume`` refuses compacted
+    datasets (part ids no longer mirror hash buckets), same as appended
+    ones."""
+    prev = read_manifest(out_dir)
+    if prev is None:
+        raise FileNotFoundError(
+            f"{out_dir}/manifest.json missing — compact_parts operates "
+            "on a committed batch dataset; for streaming epochs use "
+            "'python -m zseq compact <stream_dir> <out_dir>'")
+    small = small_bytes if small_bytes is not None else target_bytes // 2
+    parts = prev.get("parts", [])
+    sized = []
+    for p in parts:
+        e = p.get("enc_bytes")
+        if e is None:
+            try:
+                e = os.path.getsize(os.path.join(out_dir, p["file"]))
+            except OSError:
+                continue  # unknown size: never a merge candidate
+        if e < small:
+            sized.append((p, e))
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_b = 0
+    for p, e in sized:
+        if cur and cur_b + e > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(p)
+        cur_b += e
+    if cur:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]
+    summary = {
+        "merged_groups": len(groups),
+        "parts_merged": sum(len(g) for g in groups),
+        "parts_before": len(parts),
+        "revision": prev.get("revision", 1),
+        "dry_run": dry_run,
+    }
+    if not groups or dry_run:
+        summary["parts_after"] = len(parts) - summary["parts_merged"] \
+            + len(groups)
+        return summary
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    base = max((p.get("part_id", -1) for p in parts), default=-1) + 1
+    lvl = int(prev.get("zstd_level", 3) or 3)
+    tasks = [
+        (out_dir, [(p["file"], p.get("crc32")) for p in g],
+         prev["schema"], batch_rows, lvl, base + i,
+         f"part-{token}-{base + i:05d}.zseq")
+        for i, g in enumerate(groups)
+    ]
+    if spark is not None:
+        from .session import ship_package
+
+        ship_package(spark)
+        merged = (spark.sparkContext
+                  .parallelize(tasks, len(tasks))
+                  .map(_merge_group).collect())
+    else:
+        merged = [_merge_group(t) for t in tasks]
+    replaced = {p["file"] for g in groups for p in g}
+    manifest = compact_commit(out_dir, prev, replaced, merged, token)
+    summary.update(
+        parts_after=len(manifest["parts"]),
+        revision=manifest["revision"],
+        enc_bytes_merged_before=sum(e for p, e in sized
+                                    if p["file"] in replaced),
+        enc_bytes_merged_after=sum(m["enc_bytes"] for m in merged),
+    )
+    return summary
+
+
+def compact_commit(out_dir: str, prev: dict, replaced: set,
+                   merged: list[dict], token: str | None) -> dict:
+    """The compaction commit point: atomically rewrite the manifest as
+    (untouched parts, in order) + merged parts, guarded by the same
+    revision compare-and-swap as append_commit — a concurrent append or
+    overwrite that committed first wins, and this compaction's staged
+    parts become token-named orphans for vacuum(). Replaced files stay
+    on disk for the age-gated vacuum (in-flight readers of the previous
+    manifest may still fetch them)."""
+    cur = read_manifest(out_dir)
+    if cur is None or cur.get("revision", 1) != prev.get("revision", 1) \
+            or {p["file"] for p in cur.get("parts", [])} \
+            != {p["file"] for p in prev.get("parts", [])}:
+        raise RuntimeError(
+            "compact: the dataset's manifest changed while compaction "
+            "ran (a concurrent append or overwrite committed first) — "
+            "refusing to commit on top of it. This job's staged parts "
+            "are token-named orphans; vacuum() removes them after the "
+            "age gate.")
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(prev["schema"])))
+    new_parts = [p for p in prev.get("parts", [])
+                 if p["file"] not in replaced] + merged
+    extra = {k: prev[k] for k in ("input_files", "appends") if k in prev}
+    manifest = build_manifest(
+        mode="compact", partitions=len(new_parts),
+        arrow_schema=schema, parts=new_parts,
+        partition_col=prev.get("partition_col"),
+        zstd_level=prev.get("zstd_level"),
+        reversed_cols=prev.get("reversed_cols"),
+        extra={**extra,
+               "revision": prev.get("revision", 1) + 1,
+               "compactions": prev.get("compactions", 0) + 1})
+    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    # only this job's own retried/aborted token files + stale tmps;
+    # replaced parts are vacuum's to sweep after the age gate
+    gc_unreferenced(out_dir, {p["file"] for p in new_parts}, set(), token)
+    return manifest
+
+
 def _check_resume_zstd(prev: dict, zstd_level: int | None) -> None:
     """Resume reuses parts encoded at the PREVIOUS run's zstd level; a
     different level this run would make the rewritten manifest's single
@@ -899,11 +1068,12 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
 
     prev = read_manifest(out_dir)
-    if resume and prev is not None and prev.get("mode") == "append":
+    if resume and prev is not None and prev.get("mode") in ("append",
+                                                            "compact"):
         raise ValueError(
-            "resume cannot target an appended dataset (input_files no "
-            "longer describes the whole part set); append new data with "
-            "append=True or re-encode fresh")
+            f"resume cannot target a dataset after '{prev['mode']}' "
+            "(input_files no longer describes the whole part set); "
+            "append new data with append=True or re-encode fresh")
     append_prev = prev if (append and prev is not None) else None
     old_files = {q["file"] for q in (prev or {}).get("parts", [])}
     done_parts: dict[int, dict] = {}
