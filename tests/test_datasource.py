@@ -429,11 +429,11 @@ def test_partition_packing_without_enc_bytes(spark, tmp_path):
     groups = r.partitions()
     files = [f for g in groups for f, _ in g.files]
     assert sorted(files) == sorted(p for p, *_ in r._parts)
-    assert all(s > 0 for _, _, s, _ in r._parts)   # getsize fallback kicked in
+    assert all(s > 0 for _, _, s, _, _ in r._parts)   # getsize fallback kicked in
     assert len(groups) >= min(16, r._min_tasks)
 
     # degenerate case: sizes genuinely unknowable -> count-based packing
-    r._parts = [(p, c, 0, z) for p, c, _, z in r._parts]
+    r._parts = [(p, c, 0, z, i) for p, c, _, z, i in r._parts]
     groups0 = r.partitions()
     files0 = [f for g in groups0 for f, _ in g.files]
     assert sorted(files0) == sorted(files)

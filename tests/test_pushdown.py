@@ -571,3 +571,177 @@ def test_file_envelope_prune_never_drops_rows(n, data, block, preds):
         for rid in range(n))
     if zseqfile.parts_provably_empty(part, list(preds)):
         assert not any_match, (preds, w.part_zones)
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucket FILE pruning: point lookups on a mode='hash' dataset open
+# exactly the file(s) whose part_id == pmod(spark_hash(literal), P)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hash_ds(spark, tmp_path_factory):
+    """mode='hash' P=4 on a string key — part_id IS the hash bucket."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+
+    out = str(tmp_path_factory.mktemp("buckets") / "ds")
+    df = spark.range(0, 400).selectExpr(
+        "concat('doc_', lpad(cast(id as string), 5, '0')) as doc_id",
+        "id as v")
+    zenc.encode(df, out, mode="hash", partitions=4,
+                partition_col="doc_id")
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    return out, m
+
+
+def _corrupt_all_but(out, m, keep_part_ids):
+    """Truncate every part file NOT in keep_part_ids: any read that
+    opens one fails loudly, so a green read PROVES pruning skipped it."""
+    import os
+
+    for p in m["parts"]:
+        if p["part_id"] not in keep_part_ids:
+            path = os.path.join(out, p["file"])
+            with open(path, "wb") as f:
+                f.write(b"garbage")
+
+
+def test_bucket_pruning_decode_point_lookup(spark, hash_ds, tmp_path):
+    import shutil
+
+    from zseq import decode as zdec
+    from zseq.sparkhash import bucket_of
+
+    out, m = hash_ds
+    work = str(tmp_path / "ds")
+    shutil.copytree(out, work)
+    key = "doc_00137"
+    b = bucket_of(key, pa.string(), m["partitions"])
+    _corrupt_all_but(work, m, {b})
+    got = zdec.decode(spark, work,
+                      predicate=[("doc_id", "=", key)]) \
+        .filter(f"doc_id = '{key}'").collect()
+    assert [(r["doc_id"], r["v"]) for r in got] == [(key, 137)]
+
+
+def test_bucket_pruning_decode_in_list(spark, hash_ds, tmp_path):
+    import shutil
+
+    from zseq import decode as zdec
+    from zseq.sparkhash import bucket_of
+
+    out, m = hash_ds
+    work = str(tmp_path / "ds")
+    shutil.copytree(out, work)
+    keys = ("doc_00002", "doc_00399")
+    bs = {bucket_of(k, pa.string(), m["partitions"]) for k in keys}
+    _corrupt_all_but(work, m, bs)
+    got = zdec.decode(spark, work,
+                      predicate=[("doc_id", "in", keys)]) \
+        .filter("doc_id in ('doc_00002', 'doc_00399')") \
+        .collect()
+    assert sorted(r["v"] for r in got) == [2, 399]
+
+
+def test_bucket_pruning_datasource(spark, hash_ds, tmp_path):
+    import shutil
+
+    from pyspark.sql.datasource import EqualTo
+
+    from zseq.datasource import ZseqSourceReader
+    from zseq.sparkhash import bucket_of
+
+    out, m = hash_ds
+    work = str(tmp_path / "ds")
+    shutil.copytree(out, work)
+    key = "doc_00042"
+    b = bucket_of(key, pa.string(), m["partitions"])
+    _corrupt_all_but(work, m, {b})
+    r = ZseqSourceReader({"path": work, "target_partition_bytes": "1",
+                          "min_partitions": "1"})
+    r.pushFilters([EqualTo(("doc_id",), key)])
+    parts = r.partitions()
+    assert len(parts) == 1
+    rows = [(bt["doc_id"], bt["v"])
+            for p in parts for b_ in r.read(p)
+            for bt in b_.to_pylist()]
+    assert (key, 42) in rows
+    # every surviving row really is from the pinned bucket
+    P = m["partitions"]
+    assert all(bucket_of(d, pa.string(), P) == b for d, _ in rows)
+
+
+def test_bucket_pruning_never_on_other_modes(spark, tmp_path):
+    """salted/preserve/appended datasets carry no bucket claim — a key
+    equality must keep every file."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+    from zseq.zseqfile import prune_parts
+
+    df = spark.range(0, 100).selectExpr(
+        "cast(id as string) as doc_id", "id as v",
+        "cast(id % 7 as int) as n_tok")
+    for mode, kw in [("salted", {}), ("preserve", {})]:
+        out = str(tmp_path / f"ds_{mode}")
+        zenc.encode(df.repartition(3), out, mode=mode, partitions=3,
+                    partition_col="doc_id", **kw)
+        m = json.load(open(os.path.join(out, "manifest.json")))
+        pred = [("doc_id", "=", "5")]
+        kept = prune_parts(m["parts"], pred,
+                           mode=m.get("mode"),
+                           partition_col=m.get("partition_col"),
+                           partitions=m.get("partitions"),
+                           key_type=pa.string())
+        # zone envelopes may legitimately prune — the point is bucket
+        # pinning must not engage beyond them on a non-hash manifest
+        zone_only = [p for p in m["parts"]
+                     if not zseqfile.parts_provably_empty(p, pred)]
+        assert [p["file"] for p in kept] \
+            == [p["file"] for p in zone_only], mode
+
+    # append voids the bucketing claim even when parts keep part_ids
+    out = str(tmp_path / "ds_app")
+    zenc.encode(df, out, mode="hash", partitions=3,
+                partition_col="doc_id")
+    zenc.encode(df.selectExpr("concat('x_', doc_id) as doc_id", "v",
+                              "n_tok"),
+                out, append=True)
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert m["mode"] == "append"
+    pred = [("doc_id", "=", "5")]
+    kept = prune_parts(m["parts"], pred,
+                       mode=m.get("mode"),
+                       partition_col=m.get("partition_col"),
+                       partitions=m.get("partitions"),
+                       key_type=pa.string())
+    zone_only = [p for p in m["parts"]
+                 if not zseqfile.parts_provably_empty(p, pred)]
+    assert [p["file"] for p in kept] == [p["file"] for p in zone_only]
+
+
+def test_bucket_pruning_long_key(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from zseq import decode as zdec
+    from zseq import encode as zenc
+    from zseq.sparkhash import bucket_of
+
+    out = str(tmp_path / "ds")
+    df = spark.range(0, 500).selectExpr("id * 7919 as k", "id as v")
+    zenc.encode(df, out, mode="hash", partitions=8, partition_col="k")
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    key = 137 * 7919
+    b = bucket_of(key, pa.int64(), 8)
+    work = str(tmp_path / "ds2")
+    shutil.copytree(out, work)
+    _corrupt_all_but(work, json.load(
+        open(os.path.join(work, "manifest.json"))), {b})
+    got = zdec.decode(spark, work, predicate=[("k", "=", key)]) \
+        .filter(f"k = {key}").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(key, 137)]

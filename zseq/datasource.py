@@ -264,9 +264,16 @@ class ZseqSourceReader(DataSourceReader):
         self._parts = [
             (os.path.join(self._dir, p["file"]), p.get("crc32"),
              _psize(os.path.join(self._dir, p["file"]), p),
-             p.get("zones"))
+             p.get("zones"), p.get("part_id"))
             for p in m.get("parts", [])
         ]
+        # hash-bucket pruning inputs (prune_parts): only a pure
+        # mode='hash' manifest carries the part_id == pmod(hash(key), P)
+        # guarantee (append/compact/salted all void it, and record a
+        # different mode)
+        self._mode = m.get("mode")
+        self._pcol = m.get("partition_col")
+        self._pcount = m.get("partitions")
         # Task sizing: pack part files into ~target-byte groups, floored
         # by the session's parallelism so a small corpus still fans out to
         # every core. At scale (parts >= target bytes) this degenerates to
@@ -297,6 +304,8 @@ class ZseqSourceReader(DataSourceReader):
         import pyarrow as pa
 
         sch = _arrow_schema_from_manifest(m)
+        self._ptype = (sch.field(self._pcol).type
+                       if self._pcol and self._pcol in sch.names else None)
         self._pushtypes = {
             f.name: f.type for f in sch
             if pa.types.is_integer(f.type) or pa.types.is_temporal(f.type)
@@ -402,24 +411,28 @@ class ZseqSourceReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         parts = self._parts
         if parts and self._predicate:
-            # Driver-side FILE pruning against the manifest's part-level
-            # zone envelopes (pushFilters ran before partitions() per
-            # the DataSource contract): a pruned file never becomes an
-            # InputPartition, so the cluster never launches a task for
-            # it. Conservative superset — Spark re-applies every filter
-            # exactly (pushFilters returns them all unhandled).
-            from .zseqfile import parts_provably_empty
+            # Driver-side FILE pruning (pushFilters ran before
+            # partitions() per the DataSource contract): zone envelopes
+            # + hash-bucket pinning via the shared zseqfile.prune_parts
+            # — a pruned file never becomes an InputPartition, so the
+            # cluster never launches a task for it. Conservative
+            # superset — Spark re-applies every filter exactly
+            # (pushFilters returns them all unhandled).
+            from .zseqfile import prune_parts
 
-            parts = [
-                t for t in parts
-                if not parts_provably_empty({"zones": t[3]},
-                                            self._predicate)]
+            keep = prune_parts(
+                [{"zones": t[3], "part_id": t[4], "_t": t}
+                 for t in parts],
+                self._predicate, mode=self._mode,
+                partition_col=self._pcol, partitions=self._pcount,
+                key_type=self._ptype)
+            parts = [p["_t"] for p in keep]
         if not parts:
             # a committed EMPTY dataset (or a fully-pruned read) must
             # yield an empty DataFrame: returning [] here makes Spark's
             # planning worker call read(None), which crashes the job
             return [ZseqPartGroup(())]
-        total = sum(s for _, _, s, _ in parts)
+        total = sum(s for _, _, s, _, _ in parts)
         if total == 0 and len(parts) > 1:
             # No size information at all (manifest lacks enc_bytes and
             # the files are unreadable/empty): count-based packing so the
@@ -427,7 +440,7 @@ class ZseqSourceReader(DataSourceReader):
             per = -(-len(parts) // max(1, self._min_tasks))
             return [ZseqPartGroup(tuple(
                         (path, crc)
-                        for path, crc, _, _ in parts[i:i + per]))
+                        for path, crc, _, _, _ in parts[i:i + per]))
                     for i in range(0, len(parts), per)]
         # effective group size: never larger than the byte target, never
         # so large that fewer than min_tasks groups cover the dataset
@@ -436,7 +449,7 @@ class ZseqSourceReader(DataSourceReader):
         groups: list[ZseqPartGroup] = []
         cur: list[tuple] = []
         cur_bytes = 0
-        for path, crc, size, _zones in parts:
+        for path, crc, size, _zones, _pid in parts:
             if cur and cur_bytes + size > eff:
                 groups.append(ZseqPartGroup(tuple(cur)))
                 cur, cur_bytes = [], 0

@@ -284,15 +284,21 @@ def decode(spark: SparkSession, out_dir: str,
     base = os.path.basename(os.path.abspath(out_dir))
     parts = manifest.get("parts", [])
     if predicate:
-        # driver-side FILE pruning against the manifest's part-level
-        # zone envelopes: at cluster scale, skipping a file here saves
-        # the whole task launch + blob fetch, not just its decode work.
-        # Conservative superset (like block pruning) — Spark's own
-        # filter above handles exact row semantics.
-        from .zseqfile import parts_provably_empty
+        # driver-side FILE pruning: zone envelopes + hash-bucket pinning
+        # (zseqfile.prune_parts). At cluster scale, skipping a file here
+        # saves the whole task launch + blob fetch, not just its decode
+        # work; a point lookup on a hash-mode dataset's key opens ONE of
+        # P files. Conservative superset (like block pruning) — Spark's
+        # own filter above handles exact row semantics.
+        from .zseqfile import prune_parts
 
-        parts = [p for p in parts
-                 if not parts_provably_empty(p, predicate)]
+        pcol = manifest.get("partition_col")
+        parts = prune_parts(
+            parts, predicate, mode=manifest.get("mode"),
+            partition_col=pcol,
+            partitions=manifest.get("partitions"),
+            key_type=(schema.field(pcol).type
+                      if pcol in set(names) else None))
     paths = [os.path.join(out_dir, p["file"]) for p in parts]
     crcs = {f"{base}/{p['file']}": p["crc32"] for p in parts}
     return _df_from_parts(spark, paths, crcs, schema, names,

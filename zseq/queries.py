@@ -779,6 +779,34 @@ def q_pushdown_predicate_str(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cast(n_tok as bigint) as n_tok")
 
 
+def q_pushdown_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket FILE pruning: a mode='hash' dataset records
+    part_id == pmod(spark_hash(key), P), and the driver recomputes that
+    hash (zseq/sparkhash.py, fuzz-verified against F.hash) for equality/
+    IN literals — so this point lookup launches tasks for only the
+    pinned bucket files out of 8, before any byte is fetched. Composed
+    with the exact Spark filter: superset pruning, exact result."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_bucket_")
+    zenc.encode(df, out, mode="hash", partitions=8,
+                partition_col="doc_id")
+    keys = ("doc_00000137", "doc_00000450")
+    dec = zdec.decode(spark, out, columns=["doc_id", "n_tok"],
+                      predicate=[("doc_id", "in", keys)])
+    return dec.filter(
+        "doc_id in ('doc_00000137', 'doc_00000450')").selectExpr(
+        "doc_id", "cast(n_tok as bigint) as n_tok")
+
+
+_Q_BUCKET_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok FROM ({inner})
+WHERE doc_id in ('doc_00000137', 'doc_00000450')
+"""
+
+
 _Q_PRED_STR_ORACLE_TMPL = """
 SELECT doc_id, cast(n_tok as bigint) as n_tok FROM ({inner})
 WHERE doc_id >= 'doc_00000450'
@@ -1162,6 +1190,7 @@ def queries() -> dict:
         "pushdown_projection": q_pushdown_projection,
         "pushdown_predicate": q_pushdown_predicate,
         "pushdown_predicate_str": q_pushdown_predicate_str,
+        "pushdown_bucket": q_pushdown_bucket,
         "text_analyze": q_text_analyze,
         "quality_gopher": q_quality_gopher,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1241,6 +1270,8 @@ def oracle_sql() -> dict:
             inner=synth.tokens_duckdb_sql("documents"),
             heavy=synth.HEAVY_LEN),
         "pushdown_predicate_str": _Q_PRED_STR_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
+        "pushdown_bucket": _Q_BUCKET_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "text_analyze": _text_analyze_oracle(),
         "quality_gopher": _quality_gopher_oracle(),

@@ -327,6 +327,39 @@ def zones_from_json(s: str | None) -> dict:
     return out
 
 
+def prune_parts(parts: list[dict], predicate, *,
+                mode: str | None = None, partition_col: str | None = None,
+                partitions: int | None = None, key_type=None) -> list[dict]:
+    """Driver-side FILE pruning, both rules in one place (decode() and
+    the DataSource reader share it):
+
+    1. zone envelopes — drop parts whose manifest [lo, hi] provably
+       excludes the conjunction (``parts_provably_empty``);
+    2. hash buckets — on a ``mode='hash'`` dataset, an equality/IN
+       conjunct on the partition column pins the only bucket(s) whose
+       files can hold matches: ``part_id == pmod(spark_hash(v), P)``
+       (zseq/sparkhash.py, fuzz-verified against F.hash). A point lookup
+       then opens ONE of P files — the pruning zone envelopes can never
+       deliver on a hash-scattered key.
+
+    Both rules are conservative supersets: unknown types, missing
+    part_ids, or non-pinning predicates leave parts in; Spark still
+    applies every filter exactly."""
+    if not predicate:
+        return parts
+    keep = [p for p in parts if not parts_provably_empty(p, predicate)]
+    if mode == "hash" and partition_col and partitions \
+            and key_type is not None:
+        from .sparkhash import buckets_for_predicate
+
+        bs = buckets_for_predicate(predicate, partition_col, key_type,
+                                   partitions)
+        if bs is not None:
+            keep = [p for p in keep
+                    if p.get("part_id") is None or p["part_id"] in bs]
+    return keep
+
+
 def parts_provably_empty(part: dict, predicate) -> bool:
     """Driver-side FILE pruning: True when a manifest part's zone
     envelope proves the predicate conjunction empty — the whole file is
