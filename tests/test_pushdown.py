@@ -745,3 +745,150 @@ def test_bucket_pruning_long_key(spark, tmp_path):
     got = zdec.decode(spark, work, predicate=[("k", "=", key)]) \
         .filter(f"k = {key}").collect()
     assert [(r["k"], r["v"]) for r in got] == [(key, 137)]
+
+
+# ---------------------------------------------------------------------------
+# Per-part null counts: IS [NOT] NULL file pruning + all-null value pruning
+# ---------------------------------------------------------------------------
+
+def test_writer_accumulates_null_counts():
+    import io
+
+    tbl = pa.table({
+        "a": pa.array([1, None, 3, None], pa.int64()),
+        "b": pa.array([None, None, None, None], pa.string()),
+        "c": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+    })
+    w = zseqfile.ZseqWriter(io.BytesIO(), tbl.schema)
+    for b in tbl.to_batches(max_chunksize=2):
+        w.write_batch(b)
+    w.finish()
+    assert w.part_nulls == {"a": 2, "b": 4, "c": 0}
+    s = zseqfile.zones_to_json(w.part_zones, w.part_nulls)
+    assert zseqfile.nulls_from_json(s) == {"a": 2, "b": 4, "c": 0}
+    # the all-null column has counts but no envelope; float has neither
+    assert zseqfile.zones_from_json(s)["b"] is None
+
+
+def test_zones_json_nc_roundtrip_and_compat():
+    # nc rides alongside envelopes and survives the roundtrip
+    s = zseqfile.zones_to_json({"k": (0, 9), "n": None},
+                               {"k": 0, "n": 7, "extra": 3})
+    assert zseqfile.zones_from_json(s) == {"k": (0, 9), "n": None,
+                                           "extra": None}
+    assert zseqfile.nulls_from_json(s) == {"k": 0, "n": 7, "extra": 3}
+    # one-arg form (pre-null-count manifests) parses with no counts
+    s0 = zseqfile.zones_to_json({"k": (0, 9), "n": None})
+    assert zseqfile.nulls_from_json(s0) == {}
+    assert zseqfile.zones_from_json(s0) == {"k": (0, 9), "n": None}
+
+
+def test_null_count_part_pruning_rules():
+    def part(nc, rows, env=None):
+        return {"rows": rows,
+                "zones": zseqfile.zones_to_json(
+                    {"c": env} if env else {}, {"c": nc})}
+
+    # 0 nulls -> IS NULL provably empty; IS NOT NULL kept
+    assert zseqfile.parts_provably_empty(
+        part(0, 10, (1, 5)), [("c", "isnull", None)])
+    assert not zseqfile.parts_provably_empty(
+        part(0, 10, (1, 5)), [("c", "notnull", None)])
+    # all null -> NOT NULL and every value conjunct provably empty,
+    # IS NULL kept
+    assert zseqfile.parts_provably_empty(
+        part(10, 10), [("c", "notnull", None)])
+    assert zseqfile.parts_provably_empty(part(10, 10), [("c", "=", 3)])
+    assert zseqfile.parts_provably_empty(
+        part(10, 10), [("c", "in", (1, 2))])
+    assert not zseqfile.parts_provably_empty(
+        part(10, 10), [("c", "isnull", None)])
+    # mixed -> nothing null-prunable
+    p = part(4, 10, (1, 5))
+    for pred in ([("c", "isnull", None)], [("c", "notnull", None)],
+                 [("c", "=", 3)]):
+        assert not zseqfile.parts_provably_empty(p, pred)
+    # missing counts (old manifests) never prune on null ops
+    old = {"rows": 10, "zones": zseqfile.zones_to_json({"c": (1, 5)})}
+    assert not zseqfile.parts_provably_empty(old, [("c", "isnull", None)])
+    assert not zseqfile.parts_provably_empty(old, [("c", "notnull", None)])
+    # missing rows: nc can still prune isnull (nc==0) but not notnull
+    norows = {"zones": zseqfile.zones_to_json({}, {"c": 0})}
+    assert zseqfile.parts_provably_empty(norows, [("c", "isnull", None)])
+    norows7 = {"zones": zseqfile.zones_to_json({}, {"c": 7})}
+    assert not zseqfile.parts_provably_empty(
+        norows7, [("c", "notnull", None)])
+
+
+@pytest.fixture(scope="module")
+def nullable_ds(spark, tmp_path_factory):
+    """2 parts: one where column m is ALL null, one with no nulls —
+    preserve mode keeps the split."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+
+    out = str(tmp_path_factory.mktemp("nulls") / "ds")
+    df = spark.range(0, 200).selectExpr(
+        "id as k",
+        "case when id < 100 then null else id * 10 end as m")
+    zenc.encode(df.repartitionByRange(2, "k"), out)
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    return out, m
+
+
+def test_null_pruning_decode_end_to_end(spark, nullable_ds, tmp_path):
+    import shutil
+
+    from zseq import decode as zdec
+
+    out, m = nullable_ds
+    # IS NOT NULL: corrupt the all-null part; a green read proves the
+    # driver never opened it
+    all_null = [p for p in m["parts"]
+                if zseqfile.nulls_from_json(p["zones"])["m"] == p["rows"]]
+    assert len(all_null) == 1
+    work = str(tmp_path / "nn")
+    shutil.copytree(out, work)
+    with open(f"{work}/{all_null[0]['file']}", "wb") as f:
+        f.write(b"junk")
+    got = zdec.decode(spark, work, predicate=[("m", "notnull", None)]) \
+        .filter("m is not null").count()
+    assert got == 100
+
+    # IS NULL: corrupt the no-nulls part instead
+    work2 = str(tmp_path / "in")
+    shutil.copytree(out, work2)
+    no_null = [p for p in m["parts"] if p not in all_null]
+    with open(f"{work2}/{no_null[0]['file']}", "wb") as f:
+        f.write(b"junk")
+    got2 = zdec.decode(spark, work2, predicate=[("m", "isnull", None)]) \
+        .filter("m is null").count()
+    assert got2 == 100
+
+    # a value predicate also skips the all-null part
+    got3 = zdec.decode(spark, work, predicate=[("m", "=", 1500)]) \
+        .filter("m = 1500").collect()
+    assert [r["k"] for r in got3] == [150]
+
+
+def test_null_pruning_datasource_pushdown(spark, nullable_ds, tmp_path):
+    """spark.read.format('zseq').filter('m is null') must push IsNull
+    and never open the no-nulls file."""
+    import shutil
+
+    out, m = nullable_ds
+    work = str(tmp_path / "ds")
+    shutil.copytree(out, work)
+    no_null = [p for p in m["parts"]
+               if zseqfile.nulls_from_json(p["zones"])["m"] == 0]
+    assert len(no_null) == 1
+    with open(f"{work}/{no_null[0]['file']}", "wb") as f:
+        f.write(b"junk")
+    from zseq.datasource import register
+
+    register(spark)
+    got = (spark.read.format("zseq").load(work)
+           .filter("m is null").count())
+    assert got == 100

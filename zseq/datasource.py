@@ -375,10 +375,21 @@ class ZseqSourceReader(DataSourceReader):
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         from pyspark.sql.datasource import StringStartsWith
 
+        from pyspark.sql.datasource import IsNotNull, IsNull
+
         for f in filters:
             if len(getattr(f, "attribute", ())) != 1:
                 continue
             col = f.attribute[0]
+            if isinstance(f, (IsNull, IsNotNull)):
+                # any written column qualifies (null counts are tracked
+                # for every column, typed or not); prunes files whose
+                # manifest says 0 nulls / all nulls
+                if col in set(self._names):
+                    self._predicate.append(
+                        (col, "isnull" if isinstance(f, IsNull)
+                         else "notnull", None))
+                continue
             if isinstance(f, In):
                 vals = [self._storage_value(col, v) for v in f.value]
                 if vals and all(v is not None for v in vals):

@@ -427,7 +427,7 @@ def _encode_table_to_file(tbl: pa.Table, out_dir: str, part_id: int,
         # part-level zone envelope -> manifest: lets decode()/the
         # DataSource prune whole FILES on the driver before any task
         # launches (block pruning inside surviving files is unchanged)
-        "zones": zones_to_json(w.part_zones),
+        "zones": zones_to_json(w.part_zones, w.part_nulls),
     }
 
 

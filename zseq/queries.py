@@ -807,6 +807,34 @@ WHERE doc_id in ('doc_00000137', 'doc_00000450')
 """
 
 
+def q_pushdown_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT NULL file pruning: every part commits per-column null
+    counts next to its zone envelope, so the driver skips files that
+    are all-null (for NOT NULL / value predicates) or null-free (for
+    IS NULL) before any task launches. Composed with the exact Spark
+    filter: superset pruning, exact result — the nullable column is
+    derived identically in Spark and DuckDB."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "case when n_tok % 3 = 0 then cast(null as int) else n_tok end"
+        " as n_tok_n")
+    out = _tmp_out("zseq_null_")
+    zenc.encode(df, out)
+    dec = zdec.decode(spark, out,
+                      predicate=[("n_tok_n", "notnull", None)])
+    return dec.filter("n_tok_n is not null").selectExpr(
+        "doc_id", "cast(n_tok_n as bigint) as n_tok_n")
+
+
+_Q_NULL_ORACLE_TMPL = """
+SELECT doc_id, cast(n_tok as bigint) as n_tok_n FROM ({inner})
+WHERE n_tok % 3 <> 0
+"""
+
+
 _Q_PRED_STR_ORACLE_TMPL = """
 SELECT doc_id, cast(n_tok as bigint) as n_tok FROM ({inner})
 WHERE doc_id >= 'doc_00000450'
@@ -1191,6 +1219,7 @@ def queries() -> dict:
         "pushdown_predicate": q_pushdown_predicate,
         "pushdown_predicate_str": q_pushdown_predicate_str,
         "pushdown_bucket": q_pushdown_bucket,
+        "pushdown_null": q_pushdown_null,
         "text_analyze": q_text_analyze,
         "quality_gopher": q_quality_gopher,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1272,6 +1301,8 @@ def oracle_sql() -> dict:
         "pushdown_predicate_str": _Q_PRED_STR_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "pushdown_bucket": _Q_BUCKET_ORACLE_TMPL.format(
+            inner=synth.tokens_duckdb_sql("documents")),
+        "pushdown_null": _Q_NULL_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "text_analyze": _text_analyze_oracle(),
         "quality_gopher": _quality_gopher_oracle(),

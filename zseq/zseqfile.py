@@ -80,6 +80,12 @@ class ZseqWriter:
         # any task launches — at cluster scale that beats block pruning,
         # which only happens after a task has already opened the blob.
         self.part_zones: dict[str, tuple | None] = {}
+        # Per-column null counts for the whole part (pyarrow metadata,
+        # zero decode cost) — committed next to the zone envelope so the
+        # driver can prune files for IS [NOT] NULL predicates, and prune
+        # value predicates on all-null columns (which the envelope can't
+        # express: all-null chunks contribute no bounds at all).
+        self.part_nulls: dict[str, int] = {}
         mb = json.dumps(meta or {}).encode()
         sb = schema.serialize().to_pybytes()
         self._write(MAGIC)
@@ -110,6 +116,8 @@ class ZseqWriter:
             out.write(chunk)
             self.col_bytes[name] = (
                 self.col_bytes.get(name, 0) + 4 + len(chunk))
+            self.part_nulls[name] = (self.part_nulls.get(name, 0)
+                                     + batch.column(i).null_count)
             # accumulate the part-level zone envelope (header parse only)
             if self.part_zones.get(name, ()) is not None:
                 col = batch.column(i)
@@ -180,7 +188,9 @@ class ZseqReader:
         ``columns``: decode only these fields (others are seeked past via
         their chunk-length prefix — zero decompression work).
         ``predicate``: conjunction of (col, op, value) with op in
-        {'>', '>=', '<', '<=', '=', '!=', 'in'} over int-kind columns
+        {'>', '>=', '<', '<=', '=', '!=', 'in'} (plus 'isnull'/'notnull',
+        which only prune at the manifest/file level via per-part null
+        counts — blocks carry no null stats) over int-kind columns
         (values in the storage domain, e.g. micros for timestamp[us]) or
         binary/string columns (str/bytes values, compared bytewise).
         Blocks whose zone maps prove the conjunction empty are skipped
@@ -294,37 +304,58 @@ def _coerce_zone_value(x, lo):
     return None
 
 
-def zones_to_json(zones: dict) -> str:
-    """Part-level zone maps -> manifest JSON. Int bounds (incl. decimal
-    limb domains past int64 — Python ints are arbitrary precision and
-    json carries them exactly) stay ints; byte-envelope bounds (string/
-    binary columns) go hex. None (no stats for the column) round-trips."""
+def zones_to_json(zones: dict, nulls: dict | None = None) -> str:
+    """Part-level zone maps (+ optional per-column null counts) ->
+    manifest JSON. Int bounds (incl. decimal limb domains past int64 —
+    Python ints are arbitrary precision and json carries them exactly)
+    stay ints; byte-envelope bounds (string/binary columns) go hex; a
+    known null count rides as ``nc`` on the column's entry (kind ``x``
+    when the column has a count but no envelope — e.g. all-null, or a
+    type without zone support). None (no stats at all) round-trips."""
     out = {}
-    for name, zm in zones.items():
-        if zm is None:
-            out[name] = None
+    nulls = nulls or {}
+    for name in set(zones) | set(nulls):
+        zm = zones.get(name, ())
+        if zm is None or zm == ():
+            e = None
         elif isinstance(zm[0], (bytes, bytearray)):
-            out[name] = {"k": "b", "lo": bytes(zm[0]).hex(),
-                         "hi": bytes(zm[1]).hex()}
+            e = {"k": "b", "lo": bytes(zm[0]).hex(),
+                 "hi": bytes(zm[1]).hex()}
         else:
-            out[name] = {"k": "i", "lo": int(zm[0]), "hi": int(zm[1])}
+            e = {"k": "i", "lo": int(zm[0]), "hi": int(zm[1])}
+        if name in nulls:
+            if e is None:
+                e = {"k": "x"}
+            e["nc"] = int(nulls[name])
+        out[name] = e
     return json.dumps(out)
 
 
 def zones_from_json(s: str | None) -> dict:
-    """Inverse of zones_to_json; tolerant of missing/empty input (parts
-    committed by pre-zones code revisions have no 'zones' key)."""
+    """Inverse of zones_to_json (envelopes half); tolerant of missing/
+    empty input (parts committed by pre-zones code revisions have no
+    'zones' key). Kind ``x`` = null-count-only entry -> no envelope."""
     if not s:
         return {}
     out = {}
     for name, z in json.loads(s).items():
-        if z is None:
+        if z is None or z.get("k") == "x":
             out[name] = None
         elif z.get("k") == "b":
             out[name] = (bytes.fromhex(z["lo"]), bytes.fromhex(z["hi"]))
         else:
             out[name] = (int(z["lo"]), int(z["hi"]))
     return out
+
+
+def nulls_from_json(s: str | None) -> dict:
+    """The null-count half of a zones JSON: {column: nulls-in-part} for
+    every entry that carries one (parts written before null counts
+    existed simply yield {} — conservative)."""
+    if not s:
+        return {}
+    return {name: int(z["nc"]) for name, z in json.loads(s).items()
+            if isinstance(z, dict) and "nc" in z}
 
 
 def prune_parts(parts: list[dict], predicate, *,
@@ -362,13 +393,34 @@ def prune_parts(parts: list[dict], predicate, *,
 
 def parts_provably_empty(part: dict, predicate) -> bool:
     """Driver-side FILE pruning: True when a manifest part's zone
-    envelope proves the predicate conjunction empty — the whole file is
-    skipped before any task launches. Parts without a 'zones' entry
-    (older code revisions) are never pruned; per-block pruning inside
-    surviving files still applies unchanged."""
+    envelope (or null counts) proves the predicate conjunction empty —
+    the whole file is skipped before any task launches. Rules, all
+    conservative (missing stats never prune):
+
+      - envelope [lo, hi] excludes a value conjunct;
+      - ``isnull`` conjunct on a column with 0 nulls in the part;
+      - ``notnull`` conjunct on a column that is ALL null in the part;
+      - any value conjunct on an all-null column (SQL comparisons over
+        null never match — the envelope can't express this case because
+        all-null chunks contribute no bounds).
+
+    Parts without a 'zones' entry (older code revisions) are never
+    pruned; per-block pruning inside surviving files still applies."""
     zs = part.get("zones")
     if not zs:
         return False
+    ncs = nulls_from_json(zs)
+    if ncs:
+        rows = part.get("rows")
+        for col, op, _value in predicate:
+            nc = ncs.get(col)
+            if nc is None:
+                continue
+            if op == "isnull":
+                if nc == 0:
+                    return True
+            elif nc == rows:  # all-null: no value can match, nor notnull
+                return True
     return _block_provably_empty(predicate, zones_from_json(zs))
 
 
@@ -378,6 +430,8 @@ def _block_provably_empty(predicate, zonemaps) -> bool:
     strings for binary/string columns (possibly truncated, still
     enveloping) — and the op table below works identically on both."""
     for col, op, value in predicate:
+        if op in ("isnull", "notnull"):
+            continue  # null ops prune via part-level counts only
         zm = zonemaps.get(col)
         if zm is None:
             continue  # no stats -> can't prune on this conjunct
