@@ -314,3 +314,39 @@ def test_decode_stream_file_pruning_by_manifest_zones(spark, tmp_path):
 
     with pytest.raises(Exception, match="crc32|corrupt"):
         streaming.decode_stream(spark, out).count()
+
+
+def test_decode_stream_bucket_pruning(spark, tmp_path):
+    """Epochs are committed via encode(mode='hash'), so an equality
+    predicate on the key pins ONE bucket file per epoch — proven by
+    corrupting every non-pinned file across all epochs."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from zseq import encode as zenc
+    from zseq.sparkhash import bucket_of
+    from zseq.streaming import decode_stream, epoch_dir
+
+    out = str(tmp_path / "stream")
+    os.makedirs(out)
+    for e in range(3):
+        df = spark.range(e * 100, (e + 1) * 100).selectExpr(
+            "concat('k_', lpad(cast(id as string), 4, '0')) as doc_id",
+            "id as v")
+        zenc.encode(df, epoch_dir(out, e), mode="hash", partitions=4,
+                    partition_col="doc_id")
+    key = "k_0150"  # lives in epoch 1
+    b = bucket_of(key, pa.string(), 4)
+    for e in range(3):
+        d = epoch_dir(out, e)
+        m = json.load(open(os.path.join(d, "manifest.json")))
+        for p in m["parts"]:
+            if p["part_id"] != b:
+                with open(os.path.join(d, p["file"]), "wb") as f:
+                    f.write(b"junk")
+    got = decode_stream(spark, out,
+                        predicate=[("doc_id", "=", key)]) \
+        .filter(f"doc_id = '{key}'").collect()
+    assert [(r["doc_id"], r["v"]) for r in got] == [(key, 150)]

@@ -178,6 +178,7 @@ def decode_stream(spark: SparkSession, out_dir: str,
     schema_hex: str | None = None
     baseline: str | None = None  # the epoch the schema actually came from
     names: list[str] = []
+    parsed = None
     for d in epochs:
         m = read_manifest(d)
         if m is None:  # raced with an in-flight commit; listed = committed
@@ -185,18 +186,28 @@ def decode_stream(spark: SparkSession, out_dir: str,
         if schema_hex is None:
             schema_hex, names = m["schema"], list(m["schema_names"])
             baseline = d
+            parsed = pa.ipc.read_schema(
+                pa.py_buffer(bytes.fromhex(schema_hex)))
         elif m["schema"] != schema_hex:
             raise ValueError(
                 f"{d}: epoch schema differs from {baseline} — the stream "
                 "was restarted with a different schema; compact or read "
                 "the epoch ranges separately")
         base = os.path.basename(os.path.normpath(d))
-        for p in m.get("parts", []):
-            if predicate and zseqfile.parts_provably_empty(p, predicate):
-                # driver-side file pruning by the manifest's part-level
-                # zone envelopes — a year of epochs narrows to the files
-                # that can match before one task launches
-                continue
+        # driver-side file pruning per epoch: zone envelopes + null
+        # counts + hash-bucket pinning (foreachBatch epochs commit via
+        # encode(mode='hash'), so a point lookup touches one file per
+        # epoch) — a year of epochs narrows to the files that can match
+        # before one task launches
+        kept = m.get("parts", [])
+        if predicate:
+            pcol = m.get("partition_col")
+            kept = zseqfile.prune_parts(
+                kept, predicate, mode=m.get("mode"), partition_col=pcol,
+                partitions=m.get("partitions"),
+                key_type=(parsed.field(pcol).type
+                          if pcol in set(names) else None))
+        for p in kept:
             paths.append(os.path.join(d, p["file"]))
             crcs[f"{base}/{p['file']}"] = p["crc32"]
     if schema_hex is None:
@@ -212,6 +223,5 @@ def decode_stream(spark: SparkSession, out_dir: str,
         missing = set(columns) - set(names)
         if missing:
             raise KeyError(f"zseq: unknown columns {sorted(missing)}")
-    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
-    return zdec._df_from_parts(spark, paths, crcs, schema, names,
+    return zdec._df_from_parts(spark, paths, crcs, parsed, names,
                                columns, predicate)
