@@ -228,6 +228,22 @@ def test_cli_encode_salted_mode(spark, tmp_path, capsys):
     assert rep["rows"] == 400
 
 
+def test_cli_encode_range_mode(spark, tmp_path, capsys):
+    """--mode range is reachable from the CLI (the --partitions error
+    text recommends it, so argparse must accept it)."""
+    import zseq.encode as zenc
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "enc")
+    synth.tokens_df_range(spark, 400, partitions=2).write.parquet(inp)
+    assert main(["encode", inp, out, "--mode", "range",
+                 "--partitions", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 400
+    m = zenc.read_manifest(out)
+    assert m["mode"] == "range" and m["partition_col"] == "doc_id"
+
+
 def test_info_reports_zoned_parts(enc_dir, capsys):
     assert main(["info", enc_dir]) == 0
     rep = json.loads(capsys.readouterr().out)

@@ -892,3 +892,85 @@ def test_null_pruning_datasource_pushdown(spark, nullable_ds, tmp_path):
     got = (spark.read.format("zseq").load(work)
            .filter("m is null").count())
     assert got == 100
+
+
+# ---------------------------------------------------------------------------
+# mode='range': sort-ordered layout -> disjoint part envelopes by design
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def range_mode_ds(spark, tmp_path_factory):
+    """encode(mode='range') on a shuffled input: the mode itself must
+    produce the disjoint-envelope layout (no caller-side
+    repartitionByRange)."""
+    import json
+    import os
+
+    from zseq import encode as zenc
+
+    out = str(tmp_path_factory.mktemp("rangemode") / "ds")
+    # reverse order + hash-scattered layout going in
+    df = (spark.range(0, 400).selectExpr(
+        "399 - id as k", "cast(id as string) as s")
+        .repartition(7, "s"))
+    res = zenc.encode(df, out, mode="range", partitions=4,
+                      partition_col="k")
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    return out, m, res
+
+
+def test_range_mode_manifest_and_disjoint_envelopes(range_mode_ds):
+    _, m, res = range_mode_ds
+    assert m["mode"] == "range"
+    assert m["partition_col"] == "k"
+    assert len(m["parts"]) >= 2  # sampling may merge, never to 1 at 400
+    envs = sorted(
+        zseqfile.zones_from_json(p["zones"])["k"] for p in m["parts"])
+    # pairwise disjoint AND totally ordered: hi of one < lo of the next
+    for (lo1, hi1), (lo2, hi2) in zip(envs, envs[1:]):
+        assert hi1 < lo2
+    assert envs[0][0] == 0 and envs[-1][1] == 399
+
+
+def test_range_mode_roundtrip(spark, range_mode_ds):
+    from zseq import decode as zdec
+
+    out, _, _ = range_mode_ds
+    back = zdec.decode(spark, out)
+    assert back.count() == 400
+    got = {(r["k"], r["s"]) for r in back.collect()}
+    assert got == {(399 - i, str(i)) for i in range(400)}
+
+
+def test_range_mode_predicate_never_opens_pruned_files(
+        spark, range_mode_ds, tmp_path):
+    """Corruption probe: with a point predicate, every part whose
+    envelope excludes the value can be garbage on disk and the read
+    still succeeds — proof the files were pruned, not just filtered."""
+    import shutil
+
+    from zseq import decode as zdec
+
+    out, m, _ = range_mode_ds
+    work = str(tmp_path / "probed")
+    shutil.copytree(out, work)
+    target = 250
+    losers = [p for p in m["parts"]
+              if not (zseqfile.zones_from_json(p["zones"])["k"][0]
+                      <= target
+                      <= zseqfile.zones_from_json(p["zones"])["k"][1])]
+    assert losers  # disjointness guarantees all-but-one lose
+    for p in losers:
+        with open(f"{work}/{p['file']}", "wb") as f:
+            f.write(b"junk")
+    got = zdec.decode(spark, work, predicate=[("k", "=", target)]) \
+        .filter(f"k = {target}").collect()
+    assert [r["s"] for r in got] == [str(399 - target)]
+
+
+def test_range_mode_refuses_resume(spark, tmp_path):
+    from zseq import encode as zenc
+
+    df = spark.range(10).selectExpr("id as k")
+    with pytest.raises(ValueError, match="resume requires mode='hash'"):
+        zenc.encode(df, str(tmp_path / "x"), mode="range", resume=True)

@@ -1,7 +1,7 @@
 """zseq CLI — the rebuild of the reference's entry points
 (/root/reference/zbra-cli/src/main.rs: convert/info/validate/example).
 
-    python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash|salted]
+    python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash|salted|range]
                            [--zstd-level 1..22]
     python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
     python -m zseq info    ENC_DIR
@@ -40,7 +40,7 @@ def cmd_encode(args) -> int:
         # encode_parquet maps 1 input file -> 1 part and preserve mode
         # keeps input splits: a partition count would be silently ignored
         print(f"error: --partitions has no effect in mode={args.mode} "
-              "(use --mode hash or salted)", file=sys.stderr)
+              "(use --mode hash, salted or range)", file=sys.stderr)
         return 1
     if args.mode == "files":
         res = zenc.encode_parquet(spark, args.input, args.out,
@@ -341,7 +341,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("input")
     e.add_argument("out")
     e.add_argument("--mode",
-                   choices=["files", "preserve", "hash", "salted"],
+                   choices=["files", "preserve", "hash", "salted",
+                            "range"],
                    default="files")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--resume", action="store_true")

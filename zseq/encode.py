@@ -523,6 +523,16 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     (byte-uniform splits — preserve/files modes — are already mass-
     balanced, which is why this is not the default).
 
+    ``mode='range'``: sort-ordered layout — range-partition on
+    partition_col, then sort within each partition. Parts get DISJOINT
+    zone envelopes on the key, so driver-side file pruning nails any
+    range predicate to the few overlapping files, and per-block zone
+    maps inside a surviving file are equally tight. Use for a dataset
+    whose dominant read pattern is range scans on one column (time
+    series, ids). Range boundaries come from Spark's reservoir sampling,
+    so this mode makes no bucket-determinism claim: no resume, no
+    hash-bucket pinning.
+
     ``resume``: skip partitions already committed in an existing manifest
     (hash mode only).
 
@@ -547,7 +557,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     from .session import ship_package
 
     ship_package(spark)  # executors must import zseq (--py-files pattern)
-    if mode not in ("preserve", "hash", "salted"):
+    if mode not in ("preserve", "hash", "salted", "range"):
         raise ValueError(f"unknown encode mode {mode!r}")
     if resume and mode != "hash":
         raise ValueError(
@@ -616,6 +626,19 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
     if mode == "salted":
         work = _salted_repartition(df, P, key)
         run = True
+    elif mode == "range":
+        # Sort-ordered layout: range-partition on the key (disjoint
+        # per-PART zone envelopes -> driver file pruning nails any range
+        # predicate to the few files that overlap it), then sort within
+        # each partition (tight per-BLOCK zone maps inside the surviving
+        # files). The codec-locality reorder is skipped — key order IS
+        # the clustering here. Range boundaries come from Spark's
+        # sampling, so this mode makes no bucket-determinism claim
+        # (no resume, no hash-bucket pinning).
+        work = (df.repartitionByRange(P, F.col(key))
+                .sortWithinPartitions(key))
+        cluster = False
+        run = True
     elif mode == "hash":
         work = df.repartition(P, F.col(key))
         todo = sorted(set(range(P)) - set(done_parts))
@@ -651,7 +674,7 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         arrow_schema=arrow_schema, parts=parts,
         # preserve mode did not partition by any column — recording the
         # defaulted key would claim a bucketing that never happened
-        partition_col=key if mode in ("hash", "salted") else None,
+        partition_col=key if mode in ("hash", "salted", "range") else None,
         zstd_level=zstd_level, reversed_cols=reversed_cols,
         # monotone manifest revision: missing == 1 (any committed
         # manifest is at least its first revision) — the append CAS

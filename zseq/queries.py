@@ -717,6 +717,22 @@ def q_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
 
+def q_roundtrip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bit-identical gate through the sort-ordered layout
+    (mode='range': repartitionByRange + sortWithinPartitions on doc_id,
+    disjoint per-part zone envelopes, codec-locality reorder skipped —
+    key order IS the clustering)."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_range_")
+    zenc.encode(df, out, mode="range", partitions=4,
+                partition_col="doc_id")
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
 def q_roundtrip_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S17: the Reversed marker (striped.rs:490-513) through the full
     distributed encode -> decode job — inner bytes are stored unchanged
@@ -1172,6 +1188,7 @@ def queries() -> dict:
         "tokens_synth": q_tokens_synth,
         "roundtrip_tokens": q_roundtrip_tokens,
         "roundtrip_salted": q_roundtrip_salted,
+        "roundtrip_range": q_roundtrip_range,
         "roundtrip_reversed": q_roundtrip_reversed,
         "roundtrip_append": q_roundtrip_append,
         "decode_evolved": q_decode_evolved,
@@ -1247,6 +1264,7 @@ def oracle_sql() -> dict:
         "tokens_synth": _duck_tokens_checksums(),
         "roundtrip_tokens": _duck_tokens_checksums(),
         "roundtrip_salted": _duck_tokens_checksums(),
+        "roundtrip_range": _duck_tokens_checksums(),
         "roundtrip_reversed": _duck_tokens_checksums(),
         "roundtrip_append": _duck_tokens_checksums(),
         "decode_evolved": _Q_EVOLVED_ORACLE_TMPL.format(
