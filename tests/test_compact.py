@@ -48,11 +48,14 @@ def test_compact_merges_all_small_parts(spark, many_small):
     back = zdec.decode(spark, out)
     assert _ids(back) == _ids(df)
     # replaced files stay on disk for the age-gated vacuum, then
-    # vacuum sweeps exactly them
+    # vacuum sweeps exactly them (plus the now-expired pre-compaction
+    # manifest snapshot whose parts they were — time-travel expiry)
     old = [p["file"] for p in res.parts]
     assert all(os.path.exists(os.path.join(out, f)) for f in old)
     removed = zenc.vacuum(out, min_age_sec=0.0)
-    assert sorted(os.path.basename(p) for p in removed) == sorted(old)
+    removed_names = sorted(os.path.basename(p) for p in removed)
+    snap = f"manifest-r{res.manifest.get('revision', 1):08d}.json"
+    assert removed_names == sorted(old + [snap])
     assert _ids(zdec.decode(spark, out)) == _ids(df)
 
 

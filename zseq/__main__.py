@@ -4,7 +4,9 @@
     python -m zseq encode  INPUT_PARQUET_DIR OUT_DIR [--mode files|preserve|hash|salted|range]
                            [--zstd-level 1..22]
     python -m zseq decode  ENC_DIR OUT_PARQUET_DIR
-    python -m zseq info    ENC_DIR
+    python -m zseq info    ENC_DIR [--revision N]
+    python -m zseq history ENC_DIR                        (time-travel catalog:
+                           retained manifest revisions, decode --revision N)
     python -m zseq dump    ENC_DIR [--part K --limit N]   (striped debug view)
     python -m zseq compact STREAM_DIR OUT_DIR             (merge epochs;
                            small-file GC for the streaming sink)
@@ -63,17 +65,33 @@ def cmd_decode(args) -> int:
     cols = [c.strip() for c in args.columns.split(",")] \
         if args.columns else None
     df = zdec.decode(spark, args.input, allow_partial=args.allow_partial,
-                     columns=cols)
+                     columns=cols, revision=args.revision)
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                       "out": args.out}))
     return 0
 
 
+def cmd_history(args) -> int:
+    """Time-travel catalog: every retained manifest revision, oldest
+    first (one JSON line per revision). Any listed revision can be read
+    with ``decode --revision N`` until vacuum expires its snapshot or
+    an overwrite resets history."""
+    from .encode import revisions
+
+    rows = revisions(args.input)
+    if not rows:
+        print(f"error: no manifest.json in {args.input}", file=sys.stderr)
+        return 1
+    for r in rows:
+        print(json.dumps(r))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .encode import read_manifest
 
-    m = read_manifest(args.input)
+    m = read_manifest(args.input, revision=args.revision)
     if m is None:
         # Streaming layout: aggregate every committed epoch's manifest
         # into one dataset view (same shape as the batch report).
@@ -359,6 +377,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("input")
     d.add_argument("out")
     d.add_argument("--allow-partial", action="store_true")
+    d.add_argument("--revision", type=int, default=None,
+                   help="time travel: decode the dataset as of this "
+                        "manifest revision (see `history`)")
     d.add_argument("--columns", default=None,
                    help="comma-separated projection pushed into the blob "
                         "reader (unlisted columns are never decompressed)")
@@ -366,7 +387,14 @@ def main(argv: list[str] | None = None) -> int:
 
     i = sub.add_parser("info")
     i.add_argument("input")
+    i.add_argument("--revision", type=int, default=None,
+                   help="report the manifest as of this retained "
+                        "revision (see `history`)")
     i.set_defaults(fn=cmd_info)
+
+    h = sub.add_parser("history")
+    h.add_argument("input")
+    h.set_defaults(fn=cmd_history)
 
     v = sub.add_parser("verify")
     v.add_argument("input")

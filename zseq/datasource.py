@@ -96,6 +96,14 @@ class ZseqCommit(WriterCommitMessage):
     part: dict | None
 
 
+def _revision_opt(options: dict) -> int | None:
+    """Time-travel option: .option('revision', N) reads the dataset as
+    of that retained manifest revision (same contract as
+    decode(revision=...); `python -m zseq history` lists them)."""
+    r = options.get("revision")
+    return int(r) if r is not None else None
+
+
 def _arrow_schema_from_manifest(m: dict):
     import pyarrow as pa
 
@@ -129,7 +137,7 @@ class ZseqDataSource(DataSource):
 
         from .encode import read_manifest
 
-        m = read_manifest(self._path())
+        m = read_manifest(self._path(), revision=_revision_opt(self.options))
         if m is None:
             # Streaming layout: schema from the first committed epoch.
             from .streaming import committed_epochs
@@ -198,7 +206,7 @@ class ZseqSourceReader(DataSourceReader):
             # user supplies an explicit schema — fail with the intended
             # message, not a TypeError from os.path.join(None, ...)
             raise ValueError("zseq: .load(path) is required")
-        m = read_manifest(self._dir)
+        m = read_manifest(self._dir, revision=_revision_opt(options))
         if m is None:
             from .streaming import committed_epochs
 
@@ -554,7 +562,7 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         return ZseqCommit(row)
 
     def commit(self, messages) -> None:
-        from .encode import _atomic_write_json, build_manifest
+        from .encode import build_manifest
 
         parts = [m.part for m in messages if m is not None and m.part]
         parts.sort(key=lambda p: p["part_id"])
@@ -580,10 +588,11 @@ class ZseqSourceWriter(DataSourceArrowWriter):
         # job is entitled to delete (the superseded manifest's parts and
         # our own token-named leftovers — never a concurrent writer's or
         # a crashed job's salvageable parts; readers never glob).
-        from .encode import gc_unreferenced
+        from .encode import commit_manifest, gc_unreferenced
 
-        _atomic_write_json(os.path.join(self._dir, "manifest.json"),
-                           manifest)
+        # fresh/overwrite path: superseded parts get GC'd, so retained
+        # snapshots reset (append commits above retain history)
+        commit_manifest(self._dir, manifest, reset_history=True)
         gc_unreferenced(self._dir, {p["file"] for p in parts},
                         self._old_files, self._token)
 

@@ -215,7 +215,7 @@ def decode(spark: SparkSession, out_dir: str,
             allow_partial: bool = False,
             columns: list[str] | None = None,
             predicate: list[tuple] | None = None,
-            schema=None) -> DataFrame:
+            schema=None, revision: int | None = None) -> DataFrame:
     """Read an encoded dataset back as a DataFrame.
 
     ``columns`` -> projection pushdown into the blob reader (unrequested
@@ -232,14 +232,20 @@ def decode(spark: SparkSession, out_dir: str,
     evolution (docs/schema.md:299-459) for long-lived datasets that grew
     columns. Type changes and dropped columns are refused (project with
     ``columns``; cast after decode). The fill is a constant JVM-side
-    projection — zero decode cost, zero Python."""
+    projection — zero decode cost, zero Python.
+
+    ``revision`` -> TIME TRAVEL: read the dataset as of that manifest
+    revision (``zseq.revisions(out_dir)`` lists retained ones). Append
+    and compaction retain superseded snapshots — reading revision N-1
+    after an append returns exactly the pre-append rows; vacuum()
+    expires aged snapshots and an overwrite resets history."""
     from .session import ship_package
 
     ship_package(spark)
     if schema is not None:
         return _decode_evolved(spark, out_dir, schema, allow_partial,
-                               columns, predicate)
-    manifest = read_manifest(out_dir)
+                               columns, predicate, revision)
+    manifest = read_manifest(out_dir, revision=revision)
     if manifest is None and not allow_partial:
         raise FileNotFoundError(
             f"{out_dir}/manifest.json missing — encode did not commit "
@@ -307,12 +313,13 @@ def decode(spark: SparkSession, out_dir: str,
 
 def _decode_evolved(spark: SparkSession, out_dir: str, schema,
                     allow_partial: bool, columns: list[str] | None,
-                    predicate: list[tuple] | None) -> DataFrame:
+                    predicate: list[tuple] | None,
+                    revision: int | None = None) -> DataFrame:
     """decode() with a reader schema: decode the written columns as
     usual, then project to the reader schema with constant L6 defaults
     for the new columns — all inside one JVM-side select (Catalyst
     folds the literals; nothing extra crosses the Python boundary)."""
-    manifest = read_manifest(out_dir)
+    manifest = read_manifest(out_dir, revision=revision)
     if manifest is None:
         raise FileNotFoundError(
             f"{out_dir}/manifest.json missing — schema evolution needs "
@@ -321,7 +328,8 @@ def _decode_evolved(spark: SparkSession, out_dir: str, schema,
                if allow_partial else ""))
     reader_struct, read_cols, new_names, _written = evolved_read_plan(
         schema, manifest["schema"], columns)
-    base = decode(spark, out_dir, columns=read_cols, predicate=predicate)
+    base = decode(spark, out_dir, columns=read_cols, predicate=predicate,
+                  revision=revision)
     return apply_evolution(base, reader_struct, new_names, columns)
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import zlib
 from dataclasses import dataclass
@@ -680,7 +681,9 @@ def encode(df: DataFrame, out_dir: str, *, mode: str = "preserve",
         # manifest is at least its first revision) — the append CAS
         # compares this plus the part set
         extra={"revision": (prev.get("revision", 1) + 1) if prev else 1})
-    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    # fresh/overwrite: superseded parts are GC'd below, so retained
+    # snapshots would reference deleted files — history resets here
+    commit_manifest(out_dir, manifest, reset_history=True)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
 
@@ -771,7 +774,7 @@ def append_commit(out_dir: str, prev: dict, new_parts: list[dict],
         extra={**extra,
                "revision": prev.get("revision", 1) + 1,
                "appends": prev.get("appends", 0) + 1})
-    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    commit_manifest(out_dir, manifest)
     gc_unreferenced(out_dir, {p["file"] for p in all_parts}, set(), token)
     return manifest
 
@@ -937,7 +940,7 @@ def compact_commit(out_dir: str, prev: dict, replaced: set,
         extra={**extra,
                "revision": prev.get("revision", 1) + 1,
                "compactions": prev.get("compactions", 0) + 1})
-    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    commit_manifest(out_dir, manifest)
     # only this job's own retried/aborted token files + stale tmps;
     # replaced parts are vacuum's to sweep after the age gate
     gc_unreferenced(out_dir, {p["file"] for p in new_parts}, set(), token)
@@ -1215,7 +1218,7 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
         parts=parts, zstd_level=zstd_level, reversed_cols=reversed_cols,
         extra={"input_files": files,
                "revision": (prev.get("revision", 1) + 1) if prev else 1})
-    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    commit_manifest(out_dir, manifest, reset_history=True)
     gc_unreferenced(out_dir, {p["file"] for p in parts}, old_files, token)
     return EncodeResult(out_dir, manifest, parts)
 
@@ -1238,6 +1241,13 @@ def vacuum(out_dir: str, min_age_sec: float = 86400.0,
     aged .staging leftovers and aged uncommitted-epoch debris). A dir
     with neither a manifest nor epochs is refused — a crashed encode's
     parts may still be salvageable via decode(allow_partial=True).
+
+    Time-travel history: vacuum EXPIRES manifest revision snapshots
+    older than the same age gate (never the live revision's), then
+    sweeps files referenced by neither the live manifest nor any
+    RETAINED snapshot — so every revision ``revisions()`` still lists
+    stays fully readable, and expiry is what frees the parts that only
+    old revisions referenced (compacted-away or deleted-from files).
     """
     now = _now if _now is not None else time.time()
     removed: list[str] = []
@@ -1268,7 +1278,35 @@ def vacuum(out_dir: str, min_age_sec: float = 86400.0,
         n for n in sorted(os.listdir(out_dir)) if n.startswith("epoch-")
     ] if os.path.isdir(out_dir) else []
     if m is not None:
-        sweep(out_dir, {p["file"] for p in m.get("parts", [])})
+        keep = {p["file"] for p in m.get("parts", [])}
+        live_rev = m.get("revision", 1)
+        for f in sorted(os.listdir(out_dir)):
+            mt = _SNAPSHOT_RE.match(f)
+            if not mt:
+                continue
+            p = os.path.join(out_dir, f)
+            expired = int(mt.group(1)) != live_rev
+            if expired:
+                try:
+                    expired = now - os.stat(p).st_mtime >= min_age_sec
+                except OSError:
+                    continue
+            if expired:
+                removed.append(p)
+                if not dry_run:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            else:
+                # retained snapshot: its part list must stay readable
+                try:
+                    with open(p) as fh:
+                        keep |= {q["file"]
+                                 for q in json.load(fh).get("parts", [])}
+                except (OSError, ValueError):
+                    pass  # unreadable snapshot protects nothing
+        sweep(out_dir, keep)
     elif epochs:
         for name in epochs:
             d = os.path.join(out_dir, name)
@@ -1339,12 +1377,104 @@ def to_arrow_schema(df: DataFrame) -> pa.Schema:
     return _tas(df.schema)
 
 
-def read_manifest(out_dir: str) -> dict | None:
+def read_manifest(out_dir: str, revision: int | None = None) -> dict | None:
+    """Read the live manifest, or — time travel — a retained revision
+    snapshot. Every commit (fresh, append, compact, DataSource) writes
+    its manifest twice: the live ``manifest.json`` plus an immutable
+    ``manifest-r{N}.json`` snapshot. Because append never deletes parts
+    and compaction leaves replaced files for the age-gated vacuum, a
+    retained snapshot's part list stays readable until vacuum expires
+    it; overwrite resets history (its commit deletes the superseded
+    parts immediately, so their snapshots would be lies).
+
+    ``revision=N`` returns that snapshot (the live manifest when N is
+    the live revision — covers the crash window where the live swap
+    landed but the snapshot write didn't). Missing/expired revisions
+    raise with the list of retained ones."""
     path = os.path.join(out_dir, "manifest.json")
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    live = None
+    if os.path.exists(path):
+        with open(path) as f:
+            live = json.load(f)
+    if revision is None:
+        return live
+    if live is not None and live.get("revision", 1) == revision:
+        return live
+    snap = os.path.join(out_dir, _snapshot_name(revision))
+    if os.path.exists(snap):
+        with open(snap) as f:
+            return json.load(f)
+    have = sorted(r["revision"] for r in revisions(out_dir))
+    raise FileNotFoundError(
+        f"{out_dir}: no retained manifest for revision {revision} — "
+        f"retained revisions: {have or 'none'} (snapshots are expired "
+        "by vacuum() after the age gate, and an overwrite resets "
+        "history)")
+
+
+def _snapshot_name(revision: int) -> str:
+    return f"manifest-r{int(revision):08d}.json"
+
+
+_SNAPSHOT_RE = re.compile(r"^manifest-r(\d{8})\.json$")
+
+
+def revisions(out_dir: str) -> list[dict]:
+    """Time-travel catalog: one row per retained manifest revision
+    (snapshot files plus the live manifest), oldest first — revision,
+    mode, parts, totals. ``read_manifest(out_dir, revision=...)`` /
+    ``decode(..., revision=...)`` accept any revision listed here."""
+    rows: dict[int, dict] = {}
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return []
+    for f in names:
+        mt = _SNAPSHOT_RE.match(f)
+        if not mt:
+            continue
+        try:
+            with open(os.path.join(out_dir, f)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            continue  # half-written/corrupt snapshot: not readable, skip
+        rows[m.get("revision", int(mt.group(1)))] = m
+    live = read_manifest(out_dir)
+    if live is not None:
+        rows.setdefault(live.get("revision", 1), live)
+    return [{"revision": rev, "mode": m.get("mode"),
+             "parts": len(m.get("parts", [])),
+             "totals": m.get("totals", {})}
+            for rev, m in sorted(rows.items())]
+
+
+def commit_manifest(out_dir: str, manifest: dict, *,
+                    reset_history: bool = False) -> None:
+    """The single manifest commit point: atomically swap the live
+    ``manifest.json`` (THE commit), then write this revision's
+    immutable snapshot for time travel. Crash between the two leaves a
+    live manifest whose own snapshot is missing — read_manifest covers
+    that window by answering revision==live from the live file.
+
+    ``reset_history`` (fresh/overwrite commits, whose gc_unreferenced
+    deletes the superseded parts): retained snapshots would reference
+    deleted files, so they are removed FIRST — a crash after removal
+    but before the swap loses only history the overwrite was about to
+    destroy anyway; the live dataset stays intact."""
+    if reset_history:
+        try:
+            for f in os.listdir(out_dir):
+                if _SNAPSHOT_RE.match(f):
+                    try:
+                        os.remove(os.path.join(out_dir, f))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    _atomic_write_json(
+        os.path.join(out_dir, _snapshot_name(manifest.get("revision", 1))),
+        manifest)
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

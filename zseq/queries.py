@@ -108,6 +108,22 @@ def q_roundtrip_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
 
+def q_timetravel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: encode the even-n_tok half (revision 1), APPEND the
+    odd half (revision 2), then decode AS OF revision 1 — the retained
+    snapshot must return exactly the pre-append rows, so the checksums
+    equal the oracle's checksums over the even-n_tok half only."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_tt_")
+    zenc.encode(df.filter("n_tok % 2 = 0"), out)
+    zenc.encode(df.filter("n_tok % 2 != 0"), out, append=True)
+    back = zdec.decode(spark, out, revision=1)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
 def q_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-side schema evolution: decode a committed dataset through a
     SUPERSET reader schema — the two new nullable columns come back as
@@ -1191,6 +1207,7 @@ def queries() -> dict:
         "roundtrip_range": q_roundtrip_range,
         "roundtrip_reversed": q_roundtrip_reversed,
         "roundtrip_append": q_roundtrip_append,
+        "timetravel_read": q_timetravel_read,
         "decode_evolved": q_decode_evolved,
         "codec_zbra_pipeline": _int_roundtrip(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
@@ -1267,6 +1284,9 @@ def oracle_sql() -> dict:
         "roundtrip_range": _duck_tokens_checksums(),
         "roundtrip_reversed": _duck_tokens_checksums(),
         "roundtrip_append": _duck_tokens_checksums(),
+        "timetravel_read": (
+            "SELECT * FROM (" + _duck_tokens_checksums()
+            + ") WHERE n_tok % 2 = 0"),
         "decode_evolved": _Q_EVOLVED_ORACLE_TMPL.format(
             inner=synth.tokens_duckdb_sql("documents")),
         "codec_zbra_pipeline": _identity_oracle(
