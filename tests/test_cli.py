@@ -249,3 +249,39 @@ def test_info_reports_zoned_parts(enc_dir, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["zoned_parts"] == len(
         zenc.read_manifest(enc_dir)["parts"]) == 2
+
+
+def test_cli_history_and_revision_reads(spark, tmp_path, capsys):
+    """`history` lists retained revisions (one JSON line each);
+    `info --revision N` reports the snapshot and `decode --revision N`
+    materializes the pre-append data."""
+    base = str(tmp_path / "in1")
+    more = str(tmp_path / "in2")
+    out = str(tmp_path / "enc")
+    back = str(tmp_path / "back")
+    synth.tokens_df_range(spark, 300, partitions=1).write.parquet(base)
+    synth.tokens_df_range(spark, 200, partitions=1,
+                          start=1_000_000).write.parquet(more)
+    assert main(["encode", base, out]) == 0
+    capsys.readouterr()
+    assert main(["encode", more, out, "--append"]) == 0
+    capsys.readouterr()
+
+    assert main(["history", out]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["revision"] for r in rows] == [1, 2]
+    assert rows[0]["totals"]["rows"] == 300
+    assert rows[1]["totals"]["rows"] == 500
+
+    assert main(["info", out, "--revision", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["totals"]["rows"] == 300
+
+    assert main(["decode", out, back, "--revision", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 300
+
+
+def test_cli_history_missing_dataset(tmp_path, capsys):
+    assert main(["history", str(tmp_path / "nope")]) == 1
