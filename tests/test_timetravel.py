@@ -145,3 +145,75 @@ def test_history_cli(spark, tmp_path, capsys):
     assert [r["revision"] for r in lines] == [1, 2]
     assert lines[0]["totals"]["rows"] == 60
     assert lines[1]["totals"]["rows"] == 100
+
+
+def test_rollback_restores_preappend_live(spark, appended):
+    out, df1, _, _, _ = appended
+    m = zenc.rollback(out, 1)
+    assert m["revision"] == 3 and m["rollback_of"] == 1
+    # live read = the pre-append data, no revision arg needed
+    assert _ids(spark, zdec.decode(spark, out)) == _ids(spark, df1)
+    # history moved FORWARD: the rolled-back-from union is retained
+    assert [r["revision"] for r in zenc.revisions(out)] == [1, 2, 3]
+    assert zdec.decode(spark, out, revision=2).count() == 500
+    assert zdec.decode(spark, out, revision=3).count() == 300
+
+
+def test_rollback_to_live_revision_is_noop(spark, appended):
+    out, *_ = appended
+    m = zenc.rollback(out, 2)
+    assert m["revision"] == 2 and "rollback_of" not in m
+    assert [r["revision"] for r in zenc.revisions(out)] == [1, 2]
+
+
+def test_rollback_missing_revision_raises(spark, appended):
+    out, *_ = appended
+    with pytest.raises(FileNotFoundError, match="revision 9"):
+        zenc.rollback(out, 9)
+
+
+def test_rollback_refused_when_target_parts_vacuumed(spark, tmp_path):
+    """Compaction replaces rev-1's files; vacuum(0) expires the rev-1
+    snapshot AND sweeps the replaced files — but here we simulate the
+    crash-ordering where the snapshot survives while a part is gone:
+    rollback must refuse rather than commit a manifest of dead files."""
+    out = str(tmp_path / "ds")
+    zenc.encode(synth.tokens_df_range(spark, 300, partitions=3), out,
+                partitions=3)
+    zenc.compact_parts(out, target_bytes=1 << 30, spark=spark)
+    # remove one of rev-1's (replaced) parts by hand, keep its snapshot
+    m1 = zenc.read_manifest(out, revision=1)
+    os.remove(os.path.join(out, m1["parts"][0]["file"]))
+    with pytest.raises(FileNotFoundError, match="roll back"):
+        zenc.rollback(out, 1)
+    # live dataset untouched by the refusal
+    assert zdec.decode(spark, out).count() == 300
+
+
+def test_vacuum_after_rollback_keeps_live_and_retained(spark, appended):
+    out, df1, _, _, _ = appended
+    zenc.rollback(out, 1)
+    # nothing is old enough: vacuum removes nothing
+    assert zenc.vacuum(out, min_age_sec=3600) == []
+    # age-expire everything non-live: rev-1/rev-2 snapshots go; the
+    # appended-only parts (referenced by no retained revision) go too
+    removed = zenc.vacuum(out, min_age_sec=0.0)
+    assert removed  # rev1+rev2 snapshots (+ the 2 appended parts)
+    assert [r["revision"] for r in zenc.revisions(out)] == [3]
+    assert _ids(spark, zdec.decode(spark, out)) == _ids(spark, df1)
+
+
+def test_rollback_cli(spark, tmp_path, capsys):
+    import json
+
+    from zseq.__main__ import main
+
+    out = str(tmp_path / "ds")
+    zenc.encode(synth.tokens_df_range(spark, 60, partitions=1), out)
+    zenc.encode(synth.tokens_df_range(spark, 40, partitions=1,
+                                      start=1_000_000), out, append=True)
+    assert main(["rollback", out, "1"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"revision": 3, "rollback_of": 1, "rows": 60, "parts": 1}
+    assert zdec.decode(spark, out).count() == 60
+    assert main(["rollback", out, "9"]) == 1

@@ -7,6 +7,8 @@
     python -m zseq info    ENC_DIR [--revision N]
     python -m zseq history ENC_DIR                        (time-travel catalog:
                            retained manifest revisions, decode --revision N)
+    python -m zseq rollback ENC_DIR REVISION              (restore the live
+                           dataset to a retained revision; history kept)
     python -m zseq dump    ENC_DIR [--part K --limit N]   (striped debug view)
     python -m zseq compact STREAM_DIR OUT_DIR             (merge epochs;
                            small-file GC for the streaming sink)
@@ -85,6 +87,24 @@ def cmd_history(args) -> int:
         return 1
     for r in rows:
         print(json.dumps(r))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Restore the live dataset to a retained revision (no files move;
+    the rolled-back-from revision stays time-travel-readable — see
+    ``history``). Prints the new live manifest summary."""
+    from .encode import rollback
+
+    try:
+        m = rollback(args.input, args.revision)
+    except (FileNotFoundError, RuntimeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({"revision": m.get("revision"),
+                      "rollback_of": m.get("rollback_of"),
+                      "rows": m.get("totals", {}).get("rows"),
+                      "parts": len(m.get("parts", []))}))
     return 0
 
 
@@ -395,6 +415,11 @@ def main(argv: list[str] | None = None) -> int:
     h = sub.add_parser("history")
     h.add_argument("input")
     h.set_defaults(fn=cmd_history)
+
+    rb = sub.add_parser("rollback")
+    rb.add_argument("input")
+    rb.add_argument("revision", type=int)
+    rb.set_defaults(fn=cmd_rollback)
 
     v = sub.add_parser("verify")
     v.add_argument("input")

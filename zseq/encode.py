@@ -1448,6 +1448,50 @@ def revisions(out_dir: str) -> list[dict]:
             for rev, m in sorted(rows.items())]
 
 
+def rollback(out_dir: str, revision: int) -> dict:
+    """Restore the live dataset to a retained revision (the lakehouse
+    rollback: Iceberg's ``rollback_to_snapshot``). The target snapshot's
+    manifest becomes the live manifest under a NEW revision number —
+    history only moves forward, so the rolled-back-FROM revision stays
+    retained and time-travel-readable until vacuum() expires its
+    snapshot. No data files move or are deleted (vacuum later sweeps
+    parts no retained revision references).
+
+    Refuses if any of the target's part files are already gone (vacuum
+    expired that revision's data — the catalog entry alone can't bring
+    it back), and guards the swap with the same revision CAS as append
+    so a concurrent writer's commit is never silently overwritten.
+    Rolling back to the live revision is a no-op returning it."""
+    target = read_manifest(out_dir, revision=revision)  # raises if gone
+    cur = read_manifest(out_dir)
+    if cur is None:
+        raise FileNotFoundError(f"{out_dir}/manifest.json missing — "
+                                "nothing to roll back")
+    cur_rev = cur.get("revision", 1)
+    if revision == cur_rev:
+        return cur
+    missing = [p["file"] for p in target.get("parts", [])
+               if not os.path.exists(os.path.join(out_dir, p["file"]))]
+    if missing:
+        raise FileNotFoundError(
+            f"{out_dir}: cannot roll back to revision {revision} — "
+            f"{len(missing)} of its part files were already removed by "
+            f"vacuum (first: {missing[0]}); the snapshot is a catalog "
+            "entry only")
+    manifest = {**target,
+                "revision": cur_rev + 1,
+                "rollback_of": revision,
+                "rollbacks": cur.get("rollbacks", 0) + 1}
+    latest = read_manifest(out_dir)
+    if latest is None or latest.get("revision", 1) != cur_rev:
+        raise RuntimeError(
+            "rollback: the dataset's manifest changed while this "
+            "rollback ran (a concurrent writer committed first) — "
+            "re-read `revisions()` and retry against the new state")
+    commit_manifest(out_dir, manifest)
+    return manifest
+
+
 def commit_manifest(out_dir: str, manifest: dict, *,
                     reset_history: bool = False) -> None:
     """The single manifest commit point: atomically swap the live
