@@ -124,6 +124,23 @@ def q_timetravel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
 
 
+def q_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback: encode the even-n_tok half, APPEND the odd half, then
+    ROLL BACK to revision 1 — the LIVE dataset (no revision arg) must
+    be exactly the pre-append rows again, so the checksums equal the
+    oracle's over the even-n_tok half only."""
+    from . import decode as zdec
+    from . import encode as zenc
+
+    df = synth.tokens_df_from_documents(spark, sf_dir)
+    out = _tmp_out("zseq_rb_")
+    zenc.encode(df.filter("n_tok % 2 = 0"), out)
+    zenc.encode(df.filter("n_tok % 2 != 0"), out, append=True)
+    zenc.rollback(out, 1)
+    back = zdec.decode(spark, out)
+    return back.selectExpr("doc_id", *_SPARK_CHECKSUMS)
+
+
 def q_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-side schema evolution: decode a committed dataset through a
     SUPERSET reader schema — the two new nullable columns come back as
@@ -1208,6 +1225,7 @@ def queries() -> dict:
         "roundtrip_reversed": q_roundtrip_reversed,
         "roundtrip_append": q_roundtrip_append,
         "timetravel_read": q_timetravel_read,
+        "rollback_read": q_rollback_read,
         "decode_evolved": q_decode_evolved,
         "codec_zbra_pipeline": _int_roundtrip(
             "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
@@ -1285,6 +1303,9 @@ def oracle_sql() -> dict:
         "roundtrip_reversed": _duck_tokens_checksums(),
         "roundtrip_append": _duck_tokens_checksums(),
         "timetravel_read": (
+            "SELECT * FROM (" + _duck_tokens_checksums()
+            + ") WHERE n_tok % 2 = 0"),
+        "rollback_read": (
             "SELECT * FROM (" + _duck_tokens_checksums()
             + ") WHERE n_tok % 2 = 0"),
         "decode_evolved": _Q_EVOLVED_ORACLE_TMPL.format(
