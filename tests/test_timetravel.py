@@ -217,3 +217,26 @@ def test_rollback_cli(spark, tmp_path, capsys):
     assert rep == {"revision": 3, "rollback_of": 1, "rows": 60, "parts": 1}
     assert zdec.decode(spark, out).count() == 60
     assert main(["rollback", out, "9"]) == 1
+
+
+def test_vacuum_keep_revisions_retention_floor(spark, tmp_path):
+    """keep_revisions=N protects the newest N snapshots from age
+    expiry; a snapshot expires only when past the age gate AND beyond
+    the floor (Iceberg retain_last semantics)."""
+    out = str(tmp_path / "ds")
+    zenc.encode(synth.tokens_df_range(spark, 100, partitions=1), out)
+    for i in range(3):  # revisions 2,3,4
+        zenc.encode(synth.tokens_df_range(
+            spark, 50, partitions=1, start=(i + 1) * 1_000_000),
+            out, append=True)
+    assert [r["revision"] for r in zenc.revisions(out)] == [1, 2, 3, 4]
+    # everything is aged, but the floor keeps the newest 3
+    zenc.vacuum(out, min_age_sec=0.0, keep_revisions=3)
+    assert [r["revision"] for r in zenc.revisions(out)] == [2, 3, 4]
+    # all still readable (append never deletes parts)
+    assert zdec.decode(spark, out, revision=2).count() == 150
+    # default floor (live only) expires the rest
+    zenc.vacuum(out, min_age_sec=0.0)
+    assert [r["revision"] for r in zenc.revisions(out)] == [4]
+    with pytest.raises(ValueError, match="keep_revisions"):
+        zenc.vacuum(out, keep_revisions=0)

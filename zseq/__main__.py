@@ -353,7 +353,8 @@ def cmd_vacuum(args) -> int:
     from .encode import vacuum
 
     removed = vacuum(args.input, min_age_sec=args.min_age_sec,
-                     dry_run=args.dry_run)
+                     dry_run=args.dry_run,
+                     keep_revisions=args.keep_revisions)
     print(json.dumps({"removed": len(removed), "dry_run": args.dry_run,
                       "files": [p.rsplit("/", 1)[-1] for p in removed]}))
     return 0
@@ -449,6 +450,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="only remove files at least this old (protects "
                           "a concurrently running writer's fresh parts)")
     vac.add_argument("--dry-run", action="store_true")
+    vac.add_argument("--keep-revisions", type=int, default=1,
+                     help="retention floor: never expire the newest N "
+                          "time-travel revision snapshots, however old "
+                          "(default 1 = the live revision only)")
     vac.set_defaults(fn=cmd_vacuum)
 
     du = sub.add_parser("dump")

@@ -1224,7 +1224,8 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
 
 def vacuum(out_dir: str, min_age_sec: float = 86400.0,
-           dry_run: bool = False, _now: float | None = None) -> list[str]:
+           dry_run: bool = False, _now: float | None = None,
+           keep_revisions: int = 1) -> list[str]:
     """Remove .zseq files (and their .tmp leftovers) that no committed
     manifest references and that are older than ``min_age_sec``.
 
@@ -1248,7 +1249,15 @@ def vacuum(out_dir: str, min_age_sec: float = 86400.0,
     RETAINED snapshot — so every revision ``revisions()`` still lists
     stays fully readable, and expiry is what frees the parts that only
     old revisions referenced (compacted-away or deleted-from files).
+    ``keep_revisions`` is the retention floor (Iceberg's
+    ``retain_last``): the NEWEST N revisions' snapshots are never
+    expired no matter their age — the default 1 protects only the live
+    revision (the pre-snapshot behavior); a snapshot expires only when
+    it is BOTH past the age gate AND beyond the retention floor.
     """
+    if keep_revisions < 1:
+        raise ValueError("keep_revisions must be >= 1 (the live "
+                         "revision is never expired)")
     now = _now if _now is not None else time.time()
     removed: list[str] = []
 
@@ -1280,12 +1289,15 @@ def vacuum(out_dir: str, min_age_sec: float = 86400.0,
     if m is not None:
         keep = {p["file"] for p in m.get("parts", [])}
         live_rev = m.get("revision", 1)
+        snaps = sorted(int(mt.group(1)) for f in os.listdir(out_dir)
+                       if (mt := _SNAPSHOT_RE.match(f)))
+        protected = set(snaps[-keep_revisions:]) | {live_rev}
         for f in sorted(os.listdir(out_dir)):
             mt = _SNAPSHOT_RE.match(f)
             if not mt:
                 continue
             p = os.path.join(out_dir, f)
-            expired = int(mt.group(1)) != live_rev
+            expired = int(mt.group(1)) not in protected
             if expired:
                 try:
                     expired = now - os.stat(p).st_mtime >= min_age_sec
