@@ -9,8 +9,11 @@ Prints ONE JSON line:
    scaling_efficiency (the headline N->4N window),
    scaling_efficiency_1_4, bytes_per_token,
    zbra_bytes_per_token_sampled, stage_retries (every failed stage
-   attempt's rc — first-class, not a stderr line), and the sf1_*
-   fields aggregated over ALL recorded 10x-input 2->8 windows
+   attempt's rc — first-class, not a stderr line), io_probe_before/
+   io_probe_after (fsync'd disk MB/s bracketing the run — the disk
+   half of the weather diagnosis; the kernel stage is the CPU half),
+   and the sf1_* fields aggregated over ALL recorded 10x-input 2->8
+   windows
    (BENCH/sf1_run*.json, written by `python bench.py --sf1`): headline
    = best window (contention only slows), median + per-window list
    alongside}
@@ -454,6 +457,31 @@ def _sf1_runs() -> list:
     return runs
 
 
+def _disk_probe(work: str, mb: int = 64) -> dict:
+    """Direct disk-weather evidence: fsync'd sequential write + cold-ish
+    read of `mb` MB in the bench work dir. The CPU kernel control can't
+    distinguish 'host CPU fine, disk dying' from a code regression in
+    the I/O-bound Spark stages — this can (observed on this sandbox:
+    4 MB/s write days vs 400+ normal, with the kernel control steady)."""
+    path = os.path.join(work, "io_probe.bin")
+    buf = os.urandom(1 << 20)
+    t0 = time.time()
+    with open(path, "wb") as f:
+        for _ in range(mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    w = time.time() - t0
+    t0 = time.time()
+    with open(path, "rb") as f:
+        while f.read(1 << 20):
+            pass
+    r = time.time() - t0
+    os.remove(path)
+    return {"io_write_mb_per_sec": round(mb / w, 1),
+            "io_read_mb_per_sec": round(mb / r, 1)}
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
         stage, work = sys.argv[2], sys.argv[3]
@@ -466,6 +494,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="zseq_bench_")
     try:
+        io_before = _disk_probe(work)
         mat = _run_stage(work, "materialize")
         # Interleave levels so a contention burst cannot poison every rep
         # of one level while sparing the others.
@@ -480,6 +509,7 @@ def main() -> None:
         ver = _run_stage(work, "verify", str(HIGH))
         ora = _run_stage(work, "oracle")
         ker = _run_stage(work, "kernel")
+        io_after = _disk_probe(work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -540,6 +570,12 @@ def main() -> None:
         # (empty dict = clean run; a SIGSEGV-killed-then-retried stage
         # shows e.g. {"oracle": [-11]} instead of hiding in stderr)
         "stage_retries": RETRY_LOG,
+        # disk-weather controls bracketing the run (see _disk_probe):
+        # Spark stages write parquet/part files; when these read low
+        # (single-digit MB/s write) while the kernel control is normal,
+        # a slow wall number is the host's disk, not the engine.
+        "io_probe_before": io_before,
+        "io_probe_after": io_after,
     }
     # The sf1 (10x input) 2->8 windows + their pool/kernel controls
     # (see run_sf1) ride along so every BENCH_r*.json carries the
