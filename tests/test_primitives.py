@@ -116,3 +116,32 @@ def test_hourly_timestamps_ratio():
     assert int(zz.max()).bit_length() <= 30
     enc = P.zbra_compress_int_array(ts)
     assert 168 * 8 / len(enc) > 1.5
+
+
+# ---------------------------------------------------------------------------
+# Round-6 optimization: the tree-combine pack_width fast path must stay
+# byte-identical to the lane reference (_pack_width_lanes) for every
+# width, size, and input dtype it accepts.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("width", list(range(1, 36)) + [40, 63, 64])
+def test_pack_width_tree_matches_lanes(width):
+    rng = np.random.default_rng(width)
+    hi = min(1 << width, 2**63)
+    for n in (0, 1, 7, 8, 9, 63, 64, 65, 1024, 1025, 4096):
+        u = rng.integers(0, hi, size=n, dtype=np.uint64)
+        got = P.pack_width(u, width)
+        want = P._pack_width_lanes(u, width)
+        assert got == want, (width, n)
+        if n:
+            assert np.array_equal(P.unpack_width(got, n, width), u)
+
+
+@pytest.mark.parametrize("width,dt", [(5, np.uint8), (8, np.uint8),
+                                      (11, np.uint16), (16, np.uint16),
+                                      (21, np.uint32), (31, np.uint32),
+                                      (32, np.uint32)])
+def test_pack_width_narrow_dtype_input(width, dt):
+    rng = np.random.default_rng(width)
+    u = rng.integers(0, 1 << width, size=1000, dtype=np.uint64)
+    assert P.pack_width(u.astype(dt), width) == P._pack_width_lanes(u, width)

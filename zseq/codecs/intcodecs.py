@@ -92,6 +92,17 @@ def _as_i64(values) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
+def _as_int(values) -> np.ndarray:
+    """Keep int32 arrays narrow (the hot encode path: Arrow int32 token
+    columns); widen everything else to int64. All codec byte layouts are
+    int64-domain — the int32 fast paths below produce IDENTICAL bytes
+    with half the memory traffic, verified by dtype-equivalence tests."""
+    arr = np.asarray(values)
+    if arr.dtype in (np.dtype(np.int32), np.dtype(np.int64)):
+        return np.ascontiguousarray(arr)
+    return _as_i64(arr)
+
+
 # ---------------------------------------------------------------------------
 # Individual codec payload encoders  (int64 ndarray -> payload bytes)
 # ---------------------------------------------------------------------------
@@ -110,8 +121,21 @@ def _enc_zbra(arr: np.ndarray) -> bytes:
 
 def _enc_pack(arr: np.ndarray) -> bytes:
     """min i64 LE | width u8 | packed deltas (byte-aligned).
-    width==0: all equal min. width==64: raw 8-byte deltas."""
+    width==0: all equal min. width==64: raw 8-byte deltas.
+
+    int32 input stays in the 32-bit domain: (arr - lo) wraps mod 2^32,
+    and the true deltas are < 2^32 by construction (int32 span), so the
+    uint32 view is exact — same bytes, half the traffic."""
     lo = int(arr.min())
+    if arr.dtype == np.int32:
+        with _wrap:
+            deltas = (arr - np.int32(lo)).view(np.uint32)
+        hi = int(deltas.max())
+        width = 0 if hi == 0 else hi.bit_length()
+        head = int(lo).to_bytes(8, "little", signed=True) + bytes([width])
+        if width == 0:
+            return head
+        return head + P.pack_width(deltas, width)
     with _wrap:
         deltas = (arr - np.int64(lo)).view(np.uint64)
     hi = int(deltas.max())
@@ -151,26 +175,37 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
 
     Vectorized over *runs* of consecutive same-width minis: after row
     clustering, chunks have long width runs, so packing happens in a few
-    large pack_width calls instead of one per mini (same bytes out)."""
+    large pack_width calls instead of one per mini (same bytes out).
+
+    int32 input runs entirely in the 32-bit domain ((v - min) wraps mod
+    2^32; true deltas < 2^32 by int32-span construction, so the uint32
+    view is exact) — identical bytes, half the memory traffic on the hot
+    token-column path."""
     n = arr.size
     nminis = (n + mini - 1) // mini
     nfull = n // mini
+    narrow = arr.dtype == np.int32
+    udt = np.uint32 if narrow else np.uint64
     # Per-mini min/width, vectorized for the full minis.
     if nfull:
         g = arr[: nfull * mini].reshape(nfull, mini)
         mins_full = g.min(axis=1)
         with _wrap:
-            deltas_full = (g - mins_full[:, None]).view(np.uint64)
+            deltas_full = (g - mins_full[:, None]).view(udt)
         maxd = deltas_full.max(axis=1)
         bl = np.zeros(nfull, dtype=np.int64)
         nz = maxd != 0
         if nz.any():
-            bl[nz] = np.frexp(
-                np.clip(maxd[nz], 0, (1 << 53) - 1).astype(np.float64))[1]
-            big = maxd[nz] >= (1 << 53)
-            if big.any():  # exact bit_length for the huge tail
-                idx = np.flatnonzero(nz)[big]
-                bl[idx] = [int(maxd[i]).bit_length() for i in idx]
+            if narrow:  # frexp exact for every value < 2^32
+                bl[nz] = np.frexp(maxd[nz].astype(np.float64))[1]
+            else:
+                bl[nz] = np.frexp(
+                    np.clip(maxd[nz], 0,
+                            (1 << 53) - 1).astype(np.float64))[1]
+                big = maxd[nz] >= (1 << 53)
+                if big.any():  # exact bit_length for the huge tail
+                    idx = np.flatnonzero(nz)[big]
+                    bl[idx] = [int(maxd[i]).bit_length() for i in idx]
     mins = np.empty(nminis, dtype=np.int64)
     widths = np.empty(nminis, dtype=np.int64)
     if nfull:
@@ -181,7 +216,7 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
         blk = arr[nfull * mini:]
         lo = int(blk.min())
         with _wrap:
-            tail_d = (blk - np.int64(lo)).view(np.uint64)
+            tail_d = (blk - blk.dtype.type(lo)).view(udt)
         hi = int(tail_d.max())
         mins[-1] = lo
         widths[-1] = 0 if hi == 0 else hi.bit_length()
@@ -397,13 +432,21 @@ _ENCODERS = {
     T_RLE: _enc_rle,
 }
 
+# Encoders whose byte output is identical for int32 input without
+# widening (PACK/FORBP have explicit 32-bit domains; CONST/RAW/DICT/RLE
+# widen internally only where the format needs int64 bytes; ZBRA widens
+# inside the reference kernel). DELTA's wrapping np.diff is int64-domain
+# semantics, so it is widened before encode.
+_NARROW_OK = frozenset({T_CONST, T_RAW, T_ZBRA, T_PACK, T_FORBP,
+                        T_DICT, T_RLE})
+
 
 def encode_ints(values, codec: int | None = None,
                 exclude: frozenset[int] = frozenset()) -> bytes:
     """Encode an integer array as one segment. ``codec=None`` auto-selects
     via zseq.select (sampled stats). ``exclude`` removes codecs from the
     auto candidate set (used by nested segments to bound recursion)."""
-    arr = _as_i64(values)
+    arr = _as_int(values)
     n = arr.size
     if n == 0:
         return _seg(T_RAW, b"")
@@ -416,6 +459,8 @@ def encode_ints(values, codec: int | None = None,
         raise ValueError("const codec requires a constant array")
     if codec in (T_DELTA,) and n < 2:
         codec = T_RAW
+    if arr.dtype != np.int64 and codec not in _NARROW_OK:
+        arr = arr.astype(np.int64)  # codecs with int64-domain byte paths
     seg = _seg(codec, _ENCODERS[codec](arr))
     if auto and T_WRAP not in exclude:
         seg = _maybe_wrap(seg, n)
@@ -540,17 +585,30 @@ def segment_zone(buf, offset: int, count: int) -> tuple[int, int] | None:
         if 2 + 9 * nminis > len(payload):
             # Short/corrupt header region: no pruning (decode will raise).
             return None
-        lo_all, hi_all = None, None
-        pos = 2
-        for _ in range(nminis):
-            lo = int.from_bytes(payload[pos : pos + 8], "little", signed=True)
-            w = payload[pos + 8]
-            pos += 9
-            if w >= 64:
-                return None
-            hi = min(lo + (1 << w) - 1, I64_MAX) if w else lo
-            lo_all = lo if lo_all is None else min(lo_all, lo)
-            hi_all = hi if hi_all is None else max(hi_all, hi)
+        # Vectorized header walk (runs per block write for the part
+        # envelope): mins i64 LE + width u8, stride 9.
+        heads = np.frombuffer(payload, dtype=np.uint8,
+                              offset=2, count=9 * nminis).reshape(nminis, 9)
+        mins = np.ascontiguousarray(heads[:, :8]).view("<i8").reshape(-1)
+        widths = heads[:, 8].astype(np.int64)
+        if (widths >= 64).any():
+            return None
+        lo_all = int(mins.min())
+        with np.errstate(over="ignore"):
+            spans = np.where(widths > 0,
+                             (np.int64(1) << widths) - np.int64(1),
+                             np.int64(0))
+            his = mins + spans  # may exceed I64_MAX conceptually; clamp
+        # exact python-int clamp for minis whose span wrapped past i64
+        wrap = (his < mins)
+        if wrap.any():
+            hi_all = max(min(int(m) + (1 << int(w)) - 1, I64_MAX)
+                         for m, w in zip(mins[wrap], widths[wrap]))
+            ok = ~wrap
+            if ok.any():
+                hi_all = max(hi_all, int(his[ok].max()))
+        else:
+            hi_all = int(his.max())
         return (lo_all, hi_all)
     if tag == T_ZBRA:
         if plen < 13:

@@ -163,20 +163,32 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_INT) + struct.pack("<BB", 8, 1) + seg
     if pa.types.is_date32(t) or pa.types.is_time32(t):
-        vals = _int_values(arr, np.int32).astype(np.int64)
+        vals = _int_values(arr, np.int32)  # int32 domain == value domain
         if valid is not None:
-            vals = np.where(valid, vals, 0)
+            vals = np.where(valid, vals, np.int32(0))
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_INT) + struct.pack("<BB", 4, 1) + seg
     if t in _INT_TYPES:
         width, signed = _INT_TYPES[t]
         vals = _int_values(arr, _np_int_dtype(width, signed))
-        v64 = vals.astype(np.int64) if signed or width < 8 \
-            else vals.view(np.int64)
+        # Stay in the narrowest value-preserving integer domain: the
+        # int codecs produce identical bytes for int32 input with half
+        # the memory traffic (uint32/uint64 values exceed int32, and
+        # uint64 rides as its int64 bit pattern as before).
+        if signed and width == 8:
+            v = vals
+        elif not signed and width == 8:
+            v = vals.view(np.int64)
+        elif not signed and width == 4:
+            v = vals.astype(np.int64)
+        elif signed and width == 4:
+            v = vals
+        else:
+            v = vals.astype(np.int32)
         if valid is not None:
-            v64 = np.where(valid, v64, 0)
-        seg = IC.encode_ints(v64)
+            v = np.where(valid, v, v.dtype.type(0))
+        seg = IC.encode_ints(v)
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_INT) + struct.pack("<BB", width, signed) + seg
     if pa.types.is_float64(t):
@@ -188,9 +200,9 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_DOUBLE) + struct.pack("<B", mode) + seg
     if pa.types.is_float32(t):
-        vals = _int_values(arr, np.float32).view(np.int32).astype(np.int64)
+        vals = _int_values(arr, np.float32).view(np.int32)
         if valid is not None:
-            vals = np.where(valid, vals, 0)
+            vals = np.where(valid, vals, np.int32(0))
         seg = IC.encode_ints(vals)
         note(seg[0], IC.INT_CODEC_NAMES)
         return head(K_FLOAT) + seg
@@ -240,8 +252,10 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
         return head(K_BINARY, zseg) + struct.pack("<B", utf8) + seg
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
-        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
-            if lengths.dtype.kind == "f" else lengths.astype(np.int64)
+        if lengths.dtype.kind == "f":  # nulls surfaced as NaN
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        # else: keep the native int32/int64 — the codecs are
+        # dtype-equivalent and the narrow domain halves the traffic
         child = arr.flatten()  # drops null/sliced-out slots, concatenated
         lseg = IC.encode_ints(lengths)
         if stats is not None:
@@ -653,19 +667,19 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             vals = v64.astype(np.int32)
         else:  # timestamp / date64 / time64 / duration
             vals = v64
-        body = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_DOUBLE:
         (mode,) = struct.unpack_from("<B", mv, pos)
         pos += 1
         v64, pos = IC.decode_ints(mv, pos, n)
         vals = _unscale_doubles(mode, v64)
-        body = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_FLOAT:
         v64, pos = IC.decode_ints(mv, pos, n)
         vals = v64.astype(np.int32).view(np.float32)
-        body = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_BOOL:
         v64, pos = IC.decode_ints(mv, pos, n)
@@ -681,8 +695,8 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         odt = "<i8" if big else "<i4"
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
-        obuf = pa.py_buffer(offs.astype(odt).tobytes())
-        dbuf = pa.py_buffer(np.ascontiguousarray(data).tobytes())
+        obuf = pa.py_buffer(np.ascontiguousarray(offs.astype(odt)))
+        dbuf = pa.py_buffer(np.ascontiguousarray(data))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, obuf, dbuf]), pos
     if kind == K_LIST:
         lengths, pos = IC.decode_ints(mv, pos, n)
@@ -692,7 +706,7 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         odt = "<i8" if big else "<i4"
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
-        obuf = pa.py_buffer(offs.astype(odt).tobytes())
+        obuf = pa.py_buffer(np.ascontiguousarray(offs.astype(odt)))
         return pa.Array.from_buffers(
             typ, n, [validity_buf, obuf], children=[child]
         ), pos
@@ -735,7 +749,7 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             [keys, items],
             fields=[entry_type.field(0), entry_type.field(1)])
         return pa.Array.from_buffers(
-            typ, n, [validity_buf, pa.py_buffer(offs.tobytes())],
+            typ, n, [validity_buf, pa.py_buffer(np.ascontiguousarray(offs))],
             children=[entries],
         ), pos
     if kind == K_REVERSED:
@@ -823,7 +837,7 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             raw = np.empty((n, 4), dtype=np.int64)
             for i in range(4):
                 raw[:, i], pos = IC.decode_ints(mv, pos, n)
-            body = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+            body = pa.py_buffer(np.ascontiguousarray(raw))  # zero-copy
             return pa.Array.from_buffers(
                 typ, n, [validity_buf, body]), pos
         if not pa.types.is_decimal128(typ):
@@ -838,6 +852,6 @@ def decode_column(buf, offset: int, typ: pa.DataType,
             raw[:, 1], pos = IC.decode_ints(mv, pos, n)
         else:
             raw[:, 1] = v64 >> 63
-        body = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+        body = pa.py_buffer(np.ascontiguousarray(raw))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     raise ValueError(f"unknown column kind {kind}")

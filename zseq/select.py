@@ -73,6 +73,11 @@ def int_stats(arr: np.ndarray) -> IntStats:
         r = (int(w.max()) - int(w.min())) & ((1 << 64) - 1)
         bits.append(r.bit_length())
         if w.size > 1:
+            if w.dtype != np.int64:
+                # narrow input: the delta statistics are defined in the
+                # wrapping-int64 domain — widen the (tiny) window so an
+                # int32 chunk yields bit-identical stats and selection
+                w = w.astype(np.int64)
             with np.errstate(over="ignore"):
                 d = np.diff(w)
             d_nonzero += int(np.count_nonzero(d))
