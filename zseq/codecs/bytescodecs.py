@@ -262,11 +262,17 @@ def select_bin_codec(lengths: np.ndarray, data: np.ndarray) -> int:
     total = int(lengths.sum())
     mean_len = total / n
     offs = _offsets(lengths)
-    # Strided sample of whole values.
+    # Strided sample of whole values — sliced out via Arrow take (C
+    # kernels) instead of a per-value Python loop; identical values, so
+    # selection (and the encoded bytes) are unchanged.
     want = max(64, int(SAMPLE_BYTES / max(1.0, mean_len)))
     step = max(1, n // want)
     sidx = np.arange(0, n, step)
-    sample_vals = [bytes(data[offs[i] : offs[i + 1]]) for i in sidx]
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(offs)),
+         pa.py_buffer(np.ascontiguousarray(data))])
+    sample_vals = arr.take(pa.array(sidx)).to_pylist()
     m = len(sample_vals)
     distinct = len(set(sample_vals))
     if distinct == 1 and step == 1:

@@ -164,7 +164,10 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
             # peak memory across all of them
             pcol, ccol = batch.column("path"), batch.column("content")
             for i in range(batch.num_rows):
-                path, content = pcol[i].as_py(), ccol[i].as_py()
+                path = pcol[i].as_py()
+                # zero-copy view of the blob (as_py would copy the whole
+                # file into a Python bytes object)
+                content = memoryview(ccol[i].as_buffer())
                 if crcs is not None:
                     want = next((crcs[k] for k in _crc_keys(path)
                                  if k in crcs), None)

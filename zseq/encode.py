@@ -319,15 +319,22 @@ def _cluster_order(tbl: pa.Table) -> np.ndarray | None:
         return None
     arr = tbl.column(list_col).combine_chunks()
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
-    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64) \
+        if lengths.dtype.kind == "f" else lengths.astype(np.int64)
     flat = arr.flatten()
-    vals = np.abs(flat.to_numpy(zero_copy_only=False).astype(np.int64))
+    vals = flat.to_numpy(zero_copy_only=False)
     offs = np.zeros(lengths.size + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
     rowmax = np.zeros(lengths.size, dtype=np.int64)
     nz = lengths > 0
     if nz.any():
-        rowmax[nz] = np.maximum.reduceat(vals, offs[:-1][nz])
+        starts = offs[:-1][nz]
+        # max |value| per row WITHOUT materializing |values| in int64:
+        # reduceat min and max on the native (usually int32) buffer, abs
+        # on the tiny per-row results — same rowmax, ~4x less traffic.
+        row_hi = np.maximum.reduceat(vals, starts).astype(np.int64)
+        row_lo = np.minimum.reduceat(vals, starts).astype(np.int64)
+        rowmax[nz] = np.maximum(np.abs(row_hi), np.abs(row_lo))
     # bit width via frexp (exact for |v| < 2^53; clustering is heuristic
     # so clipping larger values is fine)
     width = np.frexp(np.clip(rowmax, 0, 1 << 52).astype(np.float64))[1]
@@ -354,11 +361,23 @@ def _take_table(tbl: pa.Table, order: np.ndarray) -> pa.Table:
             new_offs = np.zeros(order.size + 1, dtype=np.int64)
             np.cumsum(new_lengths, out=new_offs[1:])
             total = int(new_offs[-1])
+            idt = np.int32 if total < (1 << 31) else np.int64
             gather = (
-                np.arange(total, dtype=np.int64)
-                + np.repeat(starts - new_offs[:-1], new_lengths)
+                np.arange(total, dtype=idt)
+                + np.repeat((starts - new_offs[:-1]).astype(idt),
+                            new_lengths)
             ) if total else np.zeros(0, dtype=np.int64)
-            new_flat = flat.take(pa.array(gather)) if total else flat[:0]
+            if total and flat.null_count == 0 and (
+                    pa.types.is_integer(flat.type)
+                    or pa.types.is_floating(flat.type)):
+                # numpy fancy index on the raw buffer beats Arrow take
+                # (which routes through generic selection kernels)
+                fv = flat.to_numpy(zero_copy_only=False)
+                new_flat = pa.array(fv[gather], type=flat.type)
+            elif total:
+                new_flat = flat.take(pa.array(gather))
+            else:
+                new_flat = flat[:0]
             if pa.types.is_large_list(t):
                 rebuilt = pa.LargeListArray.from_arrays(
                     pa.array(new_offs, type=pa.int64()), new_flat)
@@ -1194,12 +1213,18 @@ def encode_parquet(spark, input_dir: str, out_dir: str, *,
 
     token = uuid.uuid4().hex[:8]
     if todo:
-        # parallelize with explicit slices: spreads one file per task
-        # without paying a shuffle job for a list of paths.
-        rdd = spark.sparkContext.parallelize(
-            [(t["part_id"], t["path"]) for t in todo],
-            numSlices=len(todo))
-        pdf = spark.createDataFrame(rdd, "part_id int, path string")
+        # One task per file WITHOUT a Python RDD: sc.parallelize +
+        # createDataFrame(rdd) routes every task through an extra
+        # Python-runner hop (pickled rows -> python worker -> JVM rows)
+        # before mapInArrow's own worker. range + array-literal lookup
+        # keeps the task list pure JVM — same 1:1 file-per-task layout,
+        # measurably less per-task overhead at low core counts.
+        ids_lit = F.array(*[F.lit(int(t["part_id"])) for t in todo])
+        paths_lit = F.array(*[F.lit(t["path"]) for t in todo])
+        idx = (F.col("id") + 1).cast("int")
+        pdf = spark.range(0, len(todo), 1, len(todo)).select(
+            F.element_at(ids_lit, idx).cast("int").alias("part_id"),
+            F.element_at(paths_lit, idx).alias("path"))
         fn = _encode_files(out_dir, arrow_schema, cluster, batch_rows,
                            columns, zstd_level, token)
         parts = [r.asDict() for r in pdf.mapInArrow(fn, METRICS_SCHEMA)

@@ -1217,7 +1217,17 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict:
+    # Order: the six sim_* ANN queries FIRST — they are the only rows the
+    # round-5 driver harness never reached (it stopped at 50 of 56), and
+    # sim_ivf_topk_kmeans has never had a driver row. Probabilistic /
+    # never-yet-driver-checked queries must not sit at the tail again.
     return {
+        "sim_topk_bruteforce": q_sim_bruteforce,
+        "sim_lsh_buckets": q_sim_lsh_buckets,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_topk_matrix": q_sim_ivf_topk_matrix,
+        "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
         "tokens_synth": q_tokens_synth,
         "roundtrip_tokens": q_roundtrip_tokens,
         "roundtrip_salted": q_roundtrip_salted,
@@ -1285,17 +1295,19 @@ def queries() -> dict:
         "dedup_simhash_planted": q_dedup_simhash_planted,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_drop_near": q_dedup_drop_near,
-        "sim_topk_bruteforce": q_sim_bruteforce,
-        "sim_lsh_buckets": q_sim_lsh_buckets,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_topk_matrix": q_sim_ivf_topk_matrix,
-        "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
     }
 
 
 def oracle_sql() -> dict:
+    # Same order as queries(): sim_* first (see the note there). The SQL
+    # text per name is unchanged — only the dict order moved.
     return {
+        "sim_topk_bruteforce": _sim_bf_oracle(),
+        "sim_lsh_buckets": _sim_buckets_oracle(),
+        "sim_lsh_topk": _sim_lsh_topk_oracle(),
+        "sim_ivf_topk": _sim_ivf_oracle(),
+        "sim_ivf_topk_matrix": _sim_ivf_oracle(),
+        "sim_ivf_topk_kmeans": _sim_ivf_kmeans_oracle(),
         "tokens_synth": _duck_tokens_checksums(),
         "roundtrip_tokens": _duck_tokens_checksums(),
         "roundtrip_salted": _duck_tokens_checksums(),
@@ -1381,12 +1393,6 @@ def oracle_sql() -> dict:
         "dedup_simhash_planted": _dedup_simhash_planted_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
         "dedup_drop_near": _Q_DROP_NEAR_ORACLE,
-        "sim_topk_bruteforce": _sim_bf_oracle(),
-        "sim_lsh_buckets": _sim_buckets_oracle(),
-        "sim_lsh_topk": _sim_lsh_topk_oracle(),
-        "sim_ivf_topk": _sim_ivf_oracle(),
-        "sim_ivf_topk_matrix": _sim_ivf_oracle(),
-        "sim_ivf_topk_kmeans": _sim_ivf_kmeans_oracle(),
     }
 
 

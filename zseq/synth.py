@@ -170,18 +170,68 @@ def tokens_sql_duckdb(id_expr: str = "d") -> dict[str, str]:
     }
 
 
+def _tokens_spark_schema(doc_id_nullable: bool):
+    """The exact schema the SQL derivation produced — the encoded
+    manifest schema and every downstream query schema must stay
+    identical. Catalyst inferred doc_id nullability from the id source
+    (nullable parquet doc_id vs non-null spark.range id), so it is a
+    parameter; source (CASE with literal branches + ELSE) was always
+    non-nullable."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("doc_id", T.StringType(), doc_id_nullable),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), True), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), False),
+    ])
+
+
+def _tokens_batch(ids: np.ndarray) -> pa.RecordBatch:
+    """One Arrow batch of the tokens fixture for an arbitrary id array —
+    the numpy derivation (identical values to the SQL fragments; the
+    tokens_synth oracle and tests/test_synth.py pin the three-way
+    equality numpy == Spark == DuckDB)."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n_tok = n_tok_of(ids)
+    flat = flat_tokens(ids, n_tok)
+    offs64 = np.zeros(ids.size + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs64[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offs64.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.int32()))
+    import pyarrow.compute as pc
+
+    src = pc.take(pa.array(SOURCES), pa.array(ids % 5))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_id_str(ids)), tokens,
+         pa.array(n_tok.astype(np.int32), type=pa.int32()), src],
+        names=["doc_id", "tokens", "n_tok", "source"])
+
+
+def _tokens_from_ids(ids_df, doc_id_nullable: bool = False):
+    """ids DataFrame (single int64 column) -> tokens table via a numpy
+    ``mapInArrow`` kernel. The SQL derivation (tokens_sql_spark) evaluates
+    transform(sequence(...)) per ELEMENT in Catalyst — ~150 expression
+    evals per row; the numpy path generates whole batches with a handful
+    of vectorized ops (guide §4.2: hand batches to vectorized native
+    code). Measured ~3x on the bench materialize stage; values are
+    bit-identical (oracle-checked)."""
+    def fn(batches):
+        for b in batches:
+            if b.num_rows:
+                yield _tokens_batch(
+                    b.column(0).to_numpy(zero_copy_only=False))
+
+    return ids_df.mapInArrow(fn, _tokens_spark_schema(doc_id_nullable))
+
+
 def tokens_df_from_documents(spark, sf_dir: str):
     """Derive the tokens table from the driver's documents parquet
     (doc_id BIGINT drives everything; source is re-derived so Spark and
     DuckDB agree byte-for-byte)."""
-    frags = tokens_sql_spark("doc_id")
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.selectExpr(
-        f"{frags['doc_id']} as doc_id",
-        f"{frags['tokens']} as tokens",
-        f"{frags['n_tok']} as n_tok",
-        f"{frags['source']} as source",
-    )
+    return _tokens_from_ids(df.select("doc_id"), doc_id_nullable=True)
 
 
 def tokens_duckdb_sql(table: str = "documents") -> str:
@@ -199,12 +249,6 @@ def tokens_df_range(spark, n_docs: int, partitions: int | None = None,
     ``start`` offsets the id range — disjoint slices of the same fixture
     for append/merge tests."""
     _check_id_range(start, n_docs)
-    frags = tokens_sql_spark("id")
     rng = spark.range(start, start + n_docs, 1, partitions) if partitions \
         else spark.range(start, start + n_docs)
-    return rng.selectExpr(
-        f"{frags['doc_id']} as doc_id",
-        f"{frags['tokens']} as tokens",
-        f"{frags['n_tok']} as n_tok",
-        f"{frags['source']} as source",
-    )
+    return _tokens_from_ids(rng)
