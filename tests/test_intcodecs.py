@@ -167,3 +167,37 @@ def test_const_strict_payload_size():
     bad = bytes([tag]) + _st.pack("<I", 3) + seg[5:8]
     with pytest.raises(ValueError, match="const"):
         IC.decode_ints(bad, 0, 5)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 optimization: the int32 decode path (decode_ints dtype=np.int32)
+# must match the int64 path truncated with astype(int32) for every codec,
+# and roundtrip int32 inputs exactly.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tag", [None, IC.T_RAW, IC.T_ZBRA, IC.T_PACK,
+                                 IC.T_FORBP, IC.T_DELTA, IC.T_DICT,
+                                 IC.T_RLE])
+def test_decode_ints_narrow_matches_int64(tag):
+    rng = np.random.default_rng(17)
+    for a in (rng.integers(-(2**31), 2**31, 5000),
+              rng.integers(0, 200, 5000),
+              np.repeat(rng.integers(0, 9, 200), rng.integers(1, 30, 200)),
+              np.sort(rng.integers(-(2**31), 2**31, 1025)),
+              np.array([-(2**31), 2**31 - 1, 0, -1]),
+              rng.integers(-3, 3, 2)):
+        a32 = a.astype(np.int32)
+        seg = IC.encode_ints(a32, codec=tag)
+        d64, p64 = IC.decode_ints(seg, 0, a32.size)
+        d32, p32 = IC.decode_ints(seg, 0, a32.size, np.int32)
+        assert p64 == p32
+        assert d32.dtype == np.int32
+        assert np.array_equal(d32, d64.astype(np.int32))
+        assert np.array_equal(d32, a32)
+
+
+def test_decode_ints_narrow_const():
+    seg = IC.encode_ints(np.full(100, -7, dtype=np.int32),
+                         codec=IC.T_CONST)
+    d32, _ = IC.decode_ints(seg, 0, 100, np.int32)
+    assert d32.dtype == np.int32 and (d32 == -7).all()

@@ -148,12 +148,16 @@ def _enc_pack(arr: np.ndarray) -> bytes:
     return head + P.pack_width(deltas, width)
 
 
-def _dec_pack(payload: memoryview, count: int) -> np.ndarray:
+def _dec_pack(payload: memoryview, count: int,
+              narrow: bool = False) -> np.ndarray:
     lo = int.from_bytes(payload[0:8], "little", signed=True)
     width = payload[8]
     if width == 0:
         if len(payload) != 9:
             raise ValueError("pack: trailing payload bytes")
+        if narrow:
+            return np.full(count, int(np.int64(lo).astype(np.int32)),
+                           dtype=np.int32)
         return np.full(count, lo, dtype=np.int64)
     if width == 64:
         deltas = np.frombuffer(payload[9:], dtype="<u8")
@@ -165,6 +169,10 @@ def _dec_pack(payload: memoryview, count: int) -> np.ndarray:
             raise ValueError("pack: payload size mismatch")
         deltas = P.unpack_width(payload[9:], count, width)
     with _wrap:
+        if narrow:
+            # mod-2^32 arithmetic == int64 decode + astype(int32)
+            return (deltas.astype(np.uint32)
+                    + np.uint32(lo & 0xFFFFFFFF)).view(np.int32)
         return (deltas + np.int64(lo).view(np.uint64)).view(np.int64)
 
 
@@ -250,7 +258,8 @@ def _enc_forbp(arr: np.ndarray, mini: int = MINI) -> bytes:
     return struct.pack("<H", mini) + heads.tobytes() + b"".join(bodies)
 
 
-def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
+def _dec_forbp(payload: memoryview, count: int,
+               narrow: bool = False) -> np.ndarray:
     (mini,) = struct.unpack_from("<H", payload, 0)
     if mini == 0:
         raise ValueError("forbp: zero mini-block size")
@@ -261,6 +270,9 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
     mins = np.ascontiguousarray(heads[:, :8]).view("<i8").reshape(nminis)
     widths = heads[:, 8].astype(np.int64)
     pos = 2 + 9 * nminis
+    if narrow:
+        return _dec_forbp_narrow(payload, count, mini, nminis, nfull,
+                                 mins, widths, pos)
     out = np.empty(count, dtype=np.int64)
     # Decode runs of equal width among full minis in one unpack each.
     m = 0
@@ -329,6 +341,78 @@ def _dec_forbp(payload: memoryview, count: int) -> np.ndarray:
     return out
 
 
+def _dec_forbp_narrow(payload, count, mini, nminis, nfull, mins, widths,
+                      pos) -> np.ndarray:
+    """int32 output path of FORBP decode: identical values to the int64
+    path truncated with astype(int32) (all arithmetic is exact mod
+    2^32), at half the memory traffic. Mirrors the run structure of the
+    int64 body byte for byte."""
+    mins32 = mins.astype(np.uint32)  # wraps mod 2^32 — exactly astype
+    out = np.empty(count, dtype=np.int32)
+    out32 = out.view(np.uint32)
+    m = 0
+    while m < nfull:
+        w = int(widths[m])
+        e = m + 1
+        while e < nfull and widths[e] == w:
+            e += 1
+        nvals = (e - m) * mini
+        lo_idx = m * mini
+        if w == 0:
+            deltas = np.zeros(nvals, dtype=np.uint32)
+        elif w == 64:
+            nb = nvals * 8
+            d64 = np.frombuffer(payload[pos : pos + nb], dtype="<u8")
+            if d64.size != nvals:
+                raise ValueError("forbp: truncated raw mini-block")
+            pos += nb
+            deltas = d64.astype(np.uint32)
+        else:
+            per = (mini * w + 7) // 8
+            if per * 8 != mini * w:
+                for i in range(m, e):
+                    d = P.unpack_width(payload[pos : pos + per], mini, w)
+                    with _wrap:
+                        out32[i * mini : (i + 1) * mini] = (
+                            d.astype(np.uint32) + mins32[i])
+                    pos += per
+                m = e
+                continue
+            nb = per * (e - m)
+            deltas = P.unpack_width(
+                payload[pos : pos + nb], nvals, w).astype(np.uint32)
+            pos += nb
+        with _wrap:
+            out32[lo_idx : lo_idx + nvals] = (
+                deltas.reshape(e - m, mini) + mins32[m:e, None]
+            ).reshape(-1)
+        m = e
+    if nminis > nfull:
+        blk_n = count - nfull * mini
+        w = int(widths[-1])
+        if w == 0:
+            deltas = np.zeros(blk_n, dtype=np.uint32)
+        elif w == 64:
+            nb = blk_n * 8
+            d64 = np.frombuffer(payload[pos : pos + nb], dtype="<u8")
+            if d64.size != blk_n:
+                raise ValueError("forbp: truncated raw mini-block")
+            pos += nb
+            deltas = d64.astype(np.uint32)
+        else:
+            nb = (blk_n * w + 7) // 8
+            deltas = P.unpack_width(
+                payload[pos : pos + nb], blk_n, w).astype(np.uint32)
+            pos += nb
+        with _wrap:
+            out32[nfull * mini :] = deltas + mins32[-1]
+    if pos != len(payload):
+        raise ValueError(
+            f"forbp: trailing payload bytes ({len(payload) - pos})"
+        )
+    return out
+
+
 def _enc_delta(arr: np.ndarray) -> bytes:
     """first i64 | min i64 | max i64 | zig-zag'd diffs sub-segment.
     min/max exist solely for the derived zone map (DELTA is the codec of
@@ -366,14 +450,19 @@ def _enc_dict(arr: np.ndarray) -> bytes:
     return struct.pack("<I", uniq.size) + d + i
 
 
-def _dec_dict(payload: memoryview, count: int) -> np.ndarray:
+def _dec_dict(payload: memoryview, count: int,
+              dtype=np.int64) -> np.ndarray:
     (card,) = struct.unpack_from("<I", payload, 0)
     uniq, pos = decode_ints(payload, 4, card)
+    # indices stay int64: a narrow decode would wrap a corrupt >= 2^32
+    # index into range and weaken the strict bounds check below
     idx, pos = decode_ints(payload, pos, count)
     if pos != len(payload):
         raise ValueError("dict: trailing payload bytes")
     if idx.size and (idx.min() < 0 or idx.max() >= uniq.size):
         raise ValueError("dict: index out of range")
+    if dtype == np.int32:
+        return uniq.astype(np.int32)[idx]
     return uniq[idx]
 
 
@@ -398,7 +487,8 @@ def _enc_rle(arr: np.ndarray) -> bytes:
     return struct.pack("<I", vals.size) + v + l
 
 
-def _dec_rle(payload: memoryview, count: int) -> np.ndarray:
+def _dec_rle(payload: memoryview, count: int,
+             dtype=np.int64) -> np.ndarray:
     (nruns,) = struct.unpack_from("<I", payload, 0)
     vals, pos = decode_ints(payload, 4, nruns)
     lens, pos = decode_ints(payload, pos, nruns)
@@ -406,6 +496,8 @@ def _dec_rle(payload: memoryview, count: int) -> np.ndarray:
         raise ValueError("rle: trailing payload bytes")
     if int(lens.sum()) != count:
         raise ValueError("rle: run lengths do not sum to element count")
+    if dtype == np.int32:
+        return np.repeat(vals.astype(np.int32), lens)
     return np.repeat(vals, lens)
 
 
@@ -493,10 +585,17 @@ def _maybe_wrap(seg: bytes, count: int) -> bytes:
     return wrapped if len(wrapped) < 0.9 * len(seg) else seg
 
 
-def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
+def decode_ints(buf, offset: int, count: int,
+                dtype=np.int64) -> tuple[np.ndarray, int]:
     """Decode one segment of ``count`` elements from ``buf`` at ``offset``.
 
-    Returns (int64 array, offset just past the segment)."""
+    Returns (array of ``dtype``, offset just past the segment).
+
+    ``dtype`` may be np.int32 for columns whose physical width is <= 32
+    bits: every value is then produced mod 2^32 — bit-identical to
+    decoding in int64 and truncating with astype (C cast semantics), at
+    half the memory traffic. PACK/FORBP/CONST/RAW/DICT/RLE/WRAP have
+    direct 32-bit paths; DELTA/ZBRA decode in int64 and truncate."""
     mv = memoryview(buf)
     tag, plen = HEADER.unpack_from(mv, offset)
     start = offset + HEADER.size
@@ -504,37 +603,41 @@ def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
     if end > len(mv):
         raise ValueError("segment: truncated payload")
     payload = mv[start:end]
+    narrow = dtype == np.int32
     if count == 0:
         if plen:
             raise ValueError("segment: payload for zero elements")
-        return np.zeros(0, dtype=np.int64), end
+        return np.zeros(0, dtype=dtype), end
     if tag == T_CONST:
         if plen != 8:
             # strict decode (module contract): a 3-byte payload would
             # otherwise silently decode to a wrong value
             raise ValueError("const: payload must be exactly 8 bytes")
         v = int.from_bytes(payload[0:8], "little", signed=True)
-        return np.full(count, v, dtype=np.int64), end
+        if narrow:
+            v = int(np.int64(v).astype(np.int32))
+        return np.full(count, v, dtype=dtype), end
     if tag == T_RAW:
         arr = np.frombuffer(payload, dtype="<i8")
         if arr.size != count:
             raise ValueError("raw: count mismatch")
-        return arr.astype(np.int64, copy=True), end
+        return arr.astype(dtype, copy=True), end
     if tag == T_ZBRA:
         out = P.zbra_decompress_int_array(payload, count)
         if out.size != count:
             raise ValueError("zbra_pipe: count mismatch")
-        return out, end
+        return out.astype(np.int32) if narrow else out, end
     if tag == T_PACK:
-        return _dec_pack(payload, count), end
+        return _dec_pack(payload, count, narrow), end
     if tag == T_FORBP:
-        return _dec_forbp(payload, count), end
+        return _dec_forbp(payload, count, narrow), end
     if tag == T_DELTA:
-        return _dec_delta(payload, count), end
+        out = _dec_delta(payload, count)
+        return out.astype(np.int32) if narrow else out, end
     if tag == T_DICT:
-        return _dec_dict(payload, count), end
+        return _dec_dict(payload, count, dtype), end
     if tag == T_RLE:
-        return _dec_rle(payload, count), end
+        return _dec_rle(payload, count, dtype), end
     if tag == T_WRAP:
         from .bytescodecs import zstd_decompress
 
@@ -542,7 +645,7 @@ def decode_ints(buf, offset: int, count: int) -> tuple[np.ndarray, int]:
         has_zone = payload[4]
         skip = 5 + (16 if has_zone else 0)
         inner = zstd_decompress(payload[skip:], raw_len)
-        vals, pos = decode_ints(inner, 0, count)
+        vals, pos = decode_ints(inner, 0, count, dtype)
         if pos != len(inner):
             raise ValueError("zstd_wrap: trailing inner bytes")
         return vals, end

@@ -657,16 +657,24 @@ def decode_column(buf, offset: int, typ: pa.DataType,
     if kind == K_INT:
         width, signed = struct.unpack_from("<BB", mv, pos)
         pos += 2
-        v64, pos = IC.decode_ints(mv, pos, n)
-        if typ in _INT_TYPES:
-            if width == 8 and not signed:  # uint64 rode as bit pattern
-                vals = v64.view(np.uint64)
+        if width < 8:
+            # <= 32-bit physical target: decode directly in the 32-bit
+            # domain (bit-identical to int64 + astype truncation, half
+            # the traffic on the hot token path)
+            v32, pos = IC.decode_ints(mv, pos, n, np.int32)
+            if pa.types.is_date32(typ) or pa.types.is_time32(typ) \
+                    or (width == 4 and signed):
+                vals = v32
+            elif width == 4:  # uint32 bit pattern
+                vals = v32.view(np.uint32)
             else:
-                vals = v64.astype(_np_int_dtype(width, signed))
-        elif pa.types.is_date32(typ) or pa.types.is_time32(typ):
-            vals = v64.astype(np.int32)
-        else:  # timestamp / date64 / time64 / duration
-            vals = v64
+                vals = v32.astype(_np_int_dtype(width, signed))
+        else:
+            v64, pos = IC.decode_ints(mv, pos, n)
+            if typ in _INT_TYPES and not signed:  # uint64 bit pattern
+                vals = v64.view(np.uint64)
+            else:  # int64 / timestamp / date64 / time64 / duration
+                vals = v64
         body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_DOUBLE:
@@ -677,13 +685,13 @@ def decode_column(buf, offset: int, typ: pa.DataType,
         body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_FLOAT:
-        v64, pos = IC.decode_ints(mv, pos, n)
-        vals = v64.astype(np.int32).view(np.float32)
+        v32, pos = IC.decode_ints(mv, pos, n, np.int32)
+        vals = v32.view(np.float32)
         body = pa.py_buffer(np.ascontiguousarray(vals))  # zero-copy
         return pa.Array.from_buffers(typ, n, [validity_buf, body]), pos
     if kind == K_BOOL:
-        v64, pos = IC.decode_ints(mv, pos, n)
-        bits = np.packbits(v64.astype(bool), bitorder="little")
+        v32, pos = IC.decode_ints(mv, pos, n, np.int32)
+        bits = np.packbits(v32.astype(bool), bitorder="little")
         return pa.Array.from_buffers(
             typ, n, [validity_buf, pa.py_buffer(bits.tobytes())]
         ), pos

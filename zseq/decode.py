@@ -156,7 +156,10 @@ def _decode_files(schema_names: list[str], crcs: dict[str, int] | None,
                   columns: list[str] | None = None,
                   predicate: list[tuple] | None = None):
     def fn(batches):
+        from .session import quiet_worker_zip_finders
         from .zseqfile import check_crc
+
+        quiet_worker_zip_finders()
 
         for batch in batches:
             # one blob at a time: to_pylist would copy EVERY file's bytes

@@ -457,6 +457,9 @@ def _encode_partition(out_dir: str, schema: pa.Schema, cluster: bool,
     def fn(batches):
         from pyspark import TaskContext
 
+        from .session import quiet_worker_zip_finders
+
+        quiet_worker_zip_finders()
         # part_base offsets appended parts past the committed ids so the
         # in-file header metadata, file name, and manifest all agree
         pid = TaskContext.get().partitionId() + part_base
@@ -488,6 +491,9 @@ def _encode_files(out_dir: str, schema: pa.Schema, cluster: bool,
     def fn(batches):
         import pyarrow.parquet as pq
 
+        from .session import quiet_worker_zip_finders
+
+        quiet_worker_zip_finders()
         # One task == one core: pyarrow's internal pool would otherwise
         # use every machine core per read, silently oversubscribing (and
         # making any cores-vs-throughput measurement meaningless).

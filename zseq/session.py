@@ -42,6 +42,39 @@ def ship_package(spark: SparkSession) -> None:
     spark._zseq_shipped = True
 
 
+def quiet_worker_zip_finders() -> None:
+    """Executor-side: make immutable zip/jar import finders' cache
+    invalidation a no-op.
+
+    pyspark's worker loop calls ``importlib.invalidate_caches()`` before
+    EVERY task (worker_util.setup_spark_files), and each zipimporter in
+    ``sys.path_importer_cache`` re-reads its zip's whole central
+    directory on that call. On this Spark layout (pyspark.zip spawns one
+    finder per sub-package plus spark jars on the path) that measures
+    130-220 ms of pure overhead per Python task — the executor thread
+    just waits on the worker (verified by jstack + worker-side phase
+    timing). The distribution zips and fetched pyFiles are immutable for
+    the lifetime of the app (Spark fetches each file once; re-adding a
+    changed file is unsupported), so skipping their directory re-read is
+    semantics-preserving. A finder created later (e.g. a subsequent
+    addPyFile) keeps normal behavior until a later task quiets it, and
+    its first read is always fresh. Idempotent, instance-scoped (no
+    global importlib patch). Opt out with
+    ZSEQ_KEEP_IMPORT_CACHE_INVALIDATION=1."""
+    import sys
+    import zipimport
+
+    if os.environ.get("ZSEQ_KEEP_IMPORT_CACHE_INVALIDATION"):
+        return
+    for f in list(sys.path_importer_cache.values()):
+        if isinstance(f, zipimport.zipimporter) \
+                and "invalidate_caches" not in f.__dict__:
+            try:
+                f.invalidate_caches = lambda: None
+            except AttributeError:
+                pass
+
+
 def get_spark(app: str = "zseq", master: str | None = None,
               shuffle_partitions: int | None = None,
               batch_rows: int = 1 << 16,

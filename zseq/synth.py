@@ -218,6 +218,9 @@ def _tokens_from_ids(ids_df, doc_id_nullable: bool = False):
     code). Measured ~3x on the bench materialize stage; values are
     bit-identical (oracle-checked)."""
     def fn(batches):
+        from .session import quiet_worker_zip_finders
+
+        quiet_worker_zip_finders()
         for b in batches:
             if b.num_rows:
                 yield _tokens_batch(
