@@ -240,3 +240,15 @@ def test_vacuum_keep_revisions_retention_floor(spark, tmp_path):
     assert [r["revision"] for r in zenc.revisions(out)] == [4]
     with pytest.raises(ValueError, match="keep_revisions"):
         zenc.vacuum(out, keep_revisions=0)
+
+
+def test_snapshot_regex_accepts_wide_revisions(tmp_path):
+    """Revisions >= 10^8 write 9+ digit snapshot names ({:08d} pads
+    without truncating); the listing regex must see them or vacuum's
+    keep-set silently drops a retained revision's parts."""
+    name = zenc._snapshot_name(123_456_789)
+    assert name == "manifest-r123456789.json"
+    mt = zenc._SNAPSHOT_RE.match(name)
+    assert mt and int(mt.group(1)) == 123_456_789
+    assert zenc._SNAPSHOT_RE.match("manifest-r00000002.json")
+    assert not zenc._SNAPSHOT_RE.match("manifest-r0000002.json")

@@ -1459,7 +1459,11 @@ def _snapshot_name(revision: int) -> str:
     return f"manifest-r{int(revision):08d}.json"
 
 
-_SNAPSHOT_RE = re.compile(r"^manifest-r(\d{8})\.json$")
+# \d{8,}: _snapshot_name's {:08d} pads WITHOUT truncation, so a revision
+# >= 10^8 writes 9+ digits — an exactly-8 regex would hide it from
+# revisions()/vacuum (never expired, parts unprotected by the keep-set)
+# while read_manifest(revision=N) still found it by direct path.
+_SNAPSHOT_RE = re.compile(r"^manifest-r(\d{8,})\.json$")
 
 
 def revisions(out_dir: str) -> list[dict]:
