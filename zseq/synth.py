@@ -76,23 +76,58 @@ def tokens_of(doc_id: int, n: int) -> np.ndarray:
 
 
 def flat_tokens(doc_ids: np.ndarray, n_tok: np.ndarray) -> np.ndarray:
-    """All docs' tokens concatenated — fully vectorized."""
+    """All docs' tokens concatenated — fully vectorized.
+
+    Every regime is an arithmetic sequence mod M in j, so the expensive
+    per-ELEMENT int64 modulo of the direct formula is replaced by a
+    per-DOC start (``ndocs`` mods) plus small-domain per-element
+    arithmetic: regimes 0/1/2 fit int32 exactly (max element value
+    s + j*step < 2^31 for every valid id and j < 2048), regime 3 needs
+    one int64 mod over values <= ~1.04e12. Identical values to the
+    direct formula by modular arithmetic ((x + y) mod M ==
+    ((x mod M) + y) mod M with y < 2^31 headroom); pinned by the
+    numpy == Spark SQL == DuckDB fixture tests. Measured ~4x on the
+    generation kernel (int64 % is a hardware divide per element)."""
+    ids = doc_ids.astype(np.int64)
     total = int(n_tok.sum())
-    d = np.repeat(doc_ids.astype(np.int64), n_tok)
-    offsets = np.zeros(doc_ids.size + 1, dtype=np.int64)
+    offsets = np.zeros(ids.size + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
-    j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_tok)
-    r = d % 4
-    t = np.empty(total, dtype=np.int64)
-    m = r == 0
-    t[m] = ((d[m] + 1) * A + j[m] * B) % VOCAB
-    m = r == 1
-    t[m] = (d[m] * 131 + j[m] * 7) % SMALL
-    m = r == 2
-    t[m] = (d[m] % 1000) + j[m] * 3
-    m = r == 3
-    t[m] = ((d[m] + j[m] + 1) * A) % WIDE
-    return t.astype(np.int32)
+    if total <= np.iinfo(np.int32).max:
+        j32 = (np.arange(total, dtype=np.int32)
+               - np.repeat(offsets[:-1].astype(np.int32), n_tok))
+    else:
+        j32 = (np.arange(total, dtype=np.int64)
+               - np.repeat(offsets[:-1], n_tok)).astype(np.int32)
+    r_doc = (ids & 3).astype(np.int8)
+    r = np.repeat(r_doc, n_tok)
+    # per-doc sequence starts (j = 0 term), one mod per doc
+    s0 = (((ids + 1) * A) % VOCAB).astype(np.int32)
+    s1 = ((ids * 131) % SMALL).astype(np.int32)
+    s2 = (ids % 1000).astype(np.int32)
+    s3 = ((ids + 1) * A) % WIDE  # int64: WIDE start can exceed int32? no
+    # (< WIDE = 2^31-1, but keep int64 for the j*step sum below)
+    t = np.empty(total, dtype=np.int32)
+    for q in range(4):
+        dm = r_doc == q
+        if not dm.any():
+            continue
+        m = r == q
+        lens = n_tok[dm]
+        jq = j32[m]
+        if q == 0:
+            s = np.repeat(s0[dm], lens)
+            t[m] = (s + jq * np.int32(B % VOCAB)) % np.int32(VOCAB)
+        elif q == 1:
+            s = np.repeat(s1[dm], lens)
+            t[m] = (s + jq * np.int32(7)) % np.int32(SMALL)
+        elif q == 2:
+            s = np.repeat(s2[dm], lens)
+            t[m] = s + jq * np.int32(3)
+        else:
+            s = np.repeat(s3[dm], lens)
+            t[m] = ((s + jq.astype(np.int64) * np.int64(A % WIDE))
+                    % np.int64(WIDE)).astype(np.int32)
+    return t
 
 
 def doc_id_str(doc_ids: np.ndarray) -> list[str]:
