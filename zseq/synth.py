@@ -252,6 +252,14 @@ def _tokens_from_ids(ids_df, doc_id_nullable: bool = False):
     of vectorized ops (guide §4.2: hand batches to vectorized native
     code). Measured ~3x on the bench materialize stage; values are
     bit-identical (oracle-checked)."""
+    from .session import ship_package
+
+    # the numpy kernel runs on executors — they must be able to import
+    # zseq under ANY session (the SQL derivation needed no Python, so
+    # callers like q_tokens_synth never went through an entry point that
+    # ships the package)
+    ship_package(ids_df.sparkSession)
+
     def fn(batches):
         from .session import quiet_worker_zip_finders
 
